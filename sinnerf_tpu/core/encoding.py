@@ -1,0 +1,43 @@
+"""Sinusoidal positional encoding.
+
+Reference semantics: ``models/nerf.py:7-41`` (``Embedding``).  Output layout is
+``[x, sin(f0*x), cos(f0*x), sin(f1*x), cos(f1*x), ...]`` with the identity
+channels first, then per-frequency sin/cos blocks, each spanning all input
+channels.  xyz uses 10 frequencies (3 -> 63 ch), directions use 4 (3 -> 27 ch).
+
+Unlike the reference (a Python loop of 2*N_freqs tensor ops), this is a single
+vectorized computation that XLA fuses into one elementwise kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def freq_bands(n_freqs: int, logscale: bool = True) -> jnp.ndarray:
+    if logscale:
+        return 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    return jnp.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs, dtype=jnp.float32)
+
+
+def positional_encoding(
+    x: jnp.ndarray, n_freqs: int, logscale: bool = True
+) -> jnp.ndarray:
+    """Embed ``x`` (..., C) to (..., C * (2 * n_freqs + 1)).
+
+    Channel order matches the reference loop at ``models/nerf.py:36-41``:
+    identity, then for each frequency ``sin`` followed by ``cos`` over all C
+    input channels.
+    """
+    bands = freq_bands(n_freqs, logscale).astype(x.dtype)
+    # (..., F, C): every frequency scales the full channel vector.
+    xb = x[..., None, :] * bands[:, None]
+    # (..., F, 2, C) -> flatten to (..., F*2*C) giving [sin f0 | cos f0 | ...].
+    enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)
+    enc = enc.reshape(*x.shape[:-1], n_freqs * 2 * x.shape[-1])
+    return jnp.concatenate([x, enc], axis=-1)
+
+
+def out_channels(in_channels: int, n_freqs: int) -> int:
+    """Embedded width: ``C * (2 * N_freqs + 1)`` (``models/nerf.py:17``)."""
+    return in_channels * (2 * n_freqs + 1)
