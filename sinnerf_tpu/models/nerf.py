@@ -1,0 +1,184 @@
+"""The NeRF MLP as pure functions over a parameter pytree.
+
+Architecture parity with ``models/nerf.py:46-148`` of the reference:
+8x256 xyz trunk with a skip concat at layer index 4, a sigma head off the
+trunk, a 256-width bottleneck (``xyz_encoding_final``) feeding a
+direction-conditioned 128-wide branch, and a 3-channel RGB head.  With
+``use_new_activation=True`` (what every training recipe uses,
+``models/sinnerf.py:137-141``) the direction branch uses shifted-softplus and
+the RGB head a widened sigmoid.
+
+TPU-first notes:
+* Parameters are a flat dict of ``{'w': (in, out), 'b': (out,)}`` — weights are
+  stored transposed relative to torch so applies are plain ``x @ w + b``
+  row-major matmuls on the MXU.
+* ``compute_dtype='bfloat16'`` casts activations+weights for the matmuls while
+  accumulating in float32 (``preferred_element_type``), roughly doubling MXU
+  throughput; params stay float32.
+* The skip concat is implemented as a real concat — XLA lays it out once in
+  VMEM-resident tiles; the Pallas kernel in ``sinnerf_tpu/ops/fused_mlp.py``
+  instead splits the matmul to avoid materializing it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sinnerf_tpu.core.activations import shifted_softplus, widened_sigmoid
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+# Layer dimensions for the default config (D=8, W=256, skips=(4,)).
+DEFAULT_D = 8
+DEFAULT_W = 256
+IN_XYZ = 63
+IN_DIR = 27
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int) -> Dict[str, jnp.ndarray]:
+    """torch ``nn.Linear`` default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    for both weight and bias (kaiming_uniform with a=sqrt(5))."""
+    bound = 1.0 / math.sqrt(fan_in)
+    wk, bk = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wk, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(bk, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def init_nerf_params(
+    key: jax.Array,
+    depth: int = DEFAULT_D,
+    width: int = DEFAULT_W,
+    in_channels_xyz: int = IN_XYZ,
+    in_channels_dir: int = IN_DIR,
+    skips: Tuple[int, ...] = (4,),
+) -> Params:
+    """Build the parameter pytree.  Key names mirror the reference module names
+    so torch checkpoints map 1:1 (see ``import_torch_state``)."""
+    keys = jax.random.split(key, depth + 4)
+    params: Params = {}
+    for i in range(depth):
+        fan_in = in_channels_xyz if i == 0 else width
+        if i in skips:
+            fan_in = width + in_channels_xyz
+        params[f"xyz_encoding_{i + 1}"] = _linear_init(keys[i], fan_in, width)
+    params["xyz_encoding_final"] = _linear_init(keys[depth], width, width)
+    params["sigma"] = _linear_init(keys[depth + 1], width, 1)
+    params["dir_encoding"] = _linear_init(
+        keys[depth + 2], width + in_channels_dir, width // 2
+    )
+    params["rgb"] = _linear_init(keys[depth + 3], width // 2, 3)
+    return params
+
+
+def _dense(
+    x: jnp.ndarray, layer: Dict[str, jnp.ndarray], compute_dtype: Optional[Any]
+) -> jnp.ndarray:
+    w, b = layer["w"], layer["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b
+
+
+def nerf_apply(
+    params: Params,
+    xyz_embedded: jnp.ndarray,
+    dir_embedded: Optional[jnp.ndarray] = None,
+    sigma_only: bool = False,
+    use_new_activation: bool = True,
+    skips: Tuple[int, ...] = (4,),
+    compute_dtype: Optional[Any] = None,
+) -> jnp.ndarray:
+    """Forward pass.  Matches ``models/nerf.py:105-148``.
+
+    xyz_embedded: (..., 63); dir_embedded: (..., 27) unless ``sigma_only``.
+    Returns (..., 1) sigma if ``sigma_only`` else (..., 4) ``[rgb, sigma]``.
+    """
+    depth = sum(1 for k in params if k.startswith("xyz_encoding_") and k[13:].isdigit())
+    x = xyz_embedded
+    for i in range(depth):
+        if i in skips:
+            x = jnp.concatenate([xyz_embedded, x], axis=-1)
+        x = _dense(x, params[f"xyz_encoding_{i + 1}"], compute_dtype)
+        x = jax.nn.relu(x)
+
+    sigma = _dense(x, params["sigma"], compute_dtype)
+    if sigma_only:
+        return sigma
+
+    feat = _dense(x, params["xyz_encoding_final"], compute_dtype)
+    d = jnp.concatenate([feat, dir_embedded.astype(feat.dtype)], axis=-1)
+    d = _dense(d, params["dir_encoding"], compute_dtype)
+    d = shifted_softplus(d) if use_new_activation else jax.nn.relu(d)
+    rgb = _dense(d, params["rgb"], compute_dtype)
+    rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
+    return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# PyTorch checkpoint interop (utils/__init__.py:60-83 semantics)
+# --------------------------------------------------------------------------
+
+_TORCH_KEY_MAP = {
+    # our param key -> torch submodule prefix (inside e.g. "nerf_coarse.")
+    **{f"xyz_encoding_{i}": f"xyz_encoding_{i}.0" for i in range(1, 16)},
+    "xyz_encoding_final": "xyz_encoding_final",
+    "sigma": "sigma",
+    "dir_encoding": "dir_encoding.0",
+    "rgb": "rgb.0",
+}
+
+
+def import_torch_state(
+    state_dict: Dict[str, Any], model_prefix: str = ""
+) -> Params:
+    """Convert a torch ``state_dict`` (tensor or ndarray values) into our param
+    pytree.  ``model_prefix`` strips e.g. ``"nerf_coarse."`` the way the
+    reference's ``extract_model_state_dict`` does (``utils/__init__.py:60-75``).
+    Weights transpose from torch's (out, in) to our (in, out).
+    """
+    import numpy as np
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    params: Params = {}
+    for our_key, torch_prefix in _TORCH_KEY_MAP.items():
+        wk = f"{model_prefix}{torch_prefix}.weight"
+        bk = f"{model_prefix}{torch_prefix}.bias"
+        if wk not in state_dict:
+            continue
+        params[our_key] = {
+            "w": jnp.asarray(to_np(state_dict[wk]).T),
+            "b": jnp.asarray(to_np(state_dict[bk])),
+        }
+    if not params:
+        raise KeyError(
+            f"no NeRF weights found under prefix {model_prefix!r}; "
+            f"available keys: {list(state_dict)[:5]}..."
+        )
+    return params
+
+
+def export_torch_state(params: Params, model_prefix: str = "") -> Dict[str, Any]:
+    """Inverse of ``import_torch_state`` (numpy values, torch layout)."""
+    import numpy as np
+
+    out = {}
+    for our_key, torch_prefix in _TORCH_KEY_MAP.items():
+        if our_key not in params:
+            continue
+        out[f"{model_prefix}{torch_prefix}.weight"] = np.asarray(
+            params[our_key]["w"]
+        ).T
+        out[f"{model_prefix}{torch_prefix}.bias"] = np.asarray(params[our_key]["b"])
+    return out

@@ -1,0 +1,250 @@
+"""The volume-rendering hot path as a single fused XLA program.
+
+Parity target: ``models/rendering.py:126-335`` (``render_rays``).  The
+reference chunks rays through Python loops at three levels
+(``sinnerf.py:171-193``, ``rendering.py:196``, ``eval.py:92``); here one jitted
+call renders the entire ray batch — stratified sampling -> positional encoding
+-> coarse MLP -> compositing -> inverse-CDF importance resampling -> fine MLP
+-> compositing — with no host round-trips.  Validation-size batches are tiled
+with ``lax.map`` (``render_chunked``) purely for memory control.
+
+Outputs use the reference's result-dict schema: ``rgb_coarse, depth_coarse,
+opacity_coarse, rgb_fine, depth_fine, opacity_fine`` where ``opacity_*`` holds
+the per-sample weights (N_rays, S) exactly as the reference returns them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sinnerf_tpu.core.composite import composite, compute_weights
+from sinnerf_tpu.core.encoding import positional_encoding
+from sinnerf_tpu.core.sampling import sample_pdf, stratified_z_vals
+from sinnerf_tpu.models.nerf import Params, nerf_apply
+
+N_FREQS_XYZ = 10  # models/sinnerf.py:133
+N_FREQS_DIR = 4   # models/sinnerf.py:134
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render configuration (hashable -> usable as a jit static arg).
+
+    Field names/defaults mirror ``opt.py:19-28`` and the ``render_rays``
+    signature at ``models/rendering.py:126-139``.
+    """
+
+    n_samples: int = 64
+    n_importance: int = 128
+    use_disp: bool = False
+    perturb: float = 1.0
+    noise_std: float = 1.0
+    white_back: bool = False
+    test_time: bool = False
+    detach_coarse: bool = False
+    use_new_activation: bool = True
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    mlp_impl: str = "xla"  # 'xla' | 'pallas'
+
+    def eval_mode(self) -> "RenderSettings":
+        """Deterministic settings for validation/eval (eval.py:95-107)."""
+        return dataclasses.replace(self, perturb=0.0, noise_std=0.0)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+def _query(
+    model_params: Params,
+    xyz: jnp.ndarray,
+    dir_embedded: Optional[jnp.ndarray],
+    settings: RenderSettings,
+    sigma_only: bool,
+) -> jnp.ndarray:
+    """Evaluate one NeRF on sampled points.
+
+    xyz: (N_rays, S, 3) world positions; dir_embedded: (N_rays, 27).
+    Returns (N_rays, S, 4) rgb+sigma, or (N_rays, S) sigma if sigma_only.
+    """
+    n_rays, s, _ = xyz.shape
+    xyz_pe = positional_encoding(xyz.reshape(-1, 3), N_FREQS_XYZ)
+    if sigma_only:
+        d_pe = None
+    else:
+        d_pe = jnp.broadcast_to(
+            dir_embedded[:, None, :], (n_rays, s, dir_embedded.shape[-1])
+        ).reshape(n_rays * s, -1)
+
+    if settings.mlp_impl == "pallas":
+        from sinnerf_tpu.ops.fused_mlp import fused_nerf_mlp
+
+        out = fused_nerf_mlp(
+            model_params,
+            xyz_pe,
+            d_pe,
+            sigma_only=sigma_only,
+            use_new_activation=settings.use_new_activation,
+            compute_dtype=settings.compute_dtype,
+        )
+    else:
+        out = nerf_apply(
+            model_params,
+            xyz_pe,
+            d_pe,
+            sigma_only=sigma_only,
+            use_new_activation=settings.use_new_activation,
+            compute_dtype=settings.dtype,
+        )
+    if sigma_only:
+        return out.reshape(n_rays, s)
+    return out.reshape(n_rays, s, 4)
+
+
+def render_rays(
+    params: Dict[str, Params],
+    rays: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    settings: RenderSettings = RenderSettings(),
+) -> Dict[str, jnp.ndarray]:
+    """Render a batch of rays.
+
+    params: ``{'coarse': nerf_params, 'fine': nerf_params}`` (fine optional
+    when ``n_importance == 0``).
+    rays: (N_rays, 8) ``[o, d, near, far]``; directions unnormalized.
+    key: PRNG key; required when perturb/noise/stochastic-pdf are active.
+    """
+    stochastic = (
+        settings.perturb > 0 or settings.noise_std > 0
+    ) and not settings.test_time
+    if key is None:
+        if stochastic:
+            raise ValueError("stochastic rendering requires a PRNG key")
+        key = jax.random.key(0)
+    k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+
+    dir_embedded = positional_encoding(rays_d, N_FREQS_DIR)  # (N, 27)
+
+    z_vals = stratified_z_vals(
+        near,
+        far,
+        settings.n_samples,
+        use_disp=settings.use_disp,
+        perturb=settings.perturb,
+        key=k_perturb,
+    )
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    result: Dict[str, jnp.ndarray] = {}
+    if settings.test_time:
+        sigmas = _query(params["coarse"], xyz_coarse, None, settings, True)
+        weights_coarse = compute_weights(sigmas, z_vals, rays_d)
+        result["opacity_coarse"] = weights_coarse
+    else:
+        coarse_params = params["coarse"]
+        if settings.detach_coarse:
+            coarse_params = jax.lax.stop_gradient(coarse_params)
+        out = _query(coarse_params, xyz_coarse, dir_embedded, settings, False)
+        comp = composite(
+            out[..., :3],
+            out[..., 3],
+            z_vals,
+            rays_d,
+            noise_std=settings.noise_std,
+            key=k_noise_c,
+            white_back=settings.white_back,
+        )
+        weights_coarse = comp.weights
+        result["rgb_coarse"] = comp.rgb
+        result["depth_coarse"] = comp.depth
+        result["opacity_coarse"] = comp.weights
+
+    if settings.n_importance > 0:
+        z_mid = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+        det = settings.perturb == 0
+        z_fine = sample_pdf(
+            z_mid,
+            weights_coarse[:, 1:-1],
+            settings.n_importance,
+            det=det,
+            key=k_pdf,
+        )
+        # Grad must not flow into coarse weights through the resampling
+        # (rendering.py:311-313).
+        z_fine = jax.lax.stop_gradient(z_fine)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+
+        out = _query(params["fine"], xyz_fine, dir_embedded, settings, False)
+        comp = composite(
+            out[..., :3],
+            out[..., 3],
+            z_all,
+            rays_d,
+            noise_std=settings.noise_std if not settings.test_time else 0.0,
+            key=k_noise_f,
+            white_back=settings.white_back,
+        )
+        result["rgb_fine"] = comp.rgb
+        result["depth_fine"] = comp.depth
+        result["opacity_fine"] = comp.weights
+    elif not settings.test_time:
+        # Mirror rendering.py:330-333: fine aliases coarse when N_importance=0.
+        result["rgb_fine"] = result["rgb_coarse"]
+        result["depth_fine"] = result["depth_coarse"]
+        result["opacity_fine"] = result["opacity_coarse"]
+
+    return result
+
+
+@partial(jax.jit, static_argnames=("settings", "tile"))
+def render_chunked(
+    params: Dict[str, Params],
+    rays: jnp.ndarray,
+    settings: RenderSettings,
+    tile: int = 32768,
+) -> Dict[str, jnp.ndarray]:
+    """Deterministic whole-image rendering, tiled with ``lax.map`` for memory.
+
+    Replaces the reference's host chunk loops (``sinnerf.py:175``,
+    ``eval.py:92``): one compile, serial on-device tiles, no host syncs.
+    Rays are padded to a tile multiple; padding is sliced off afterwards.
+    """
+    eval_settings = settings.eval_mode()
+    n = rays.shape[0]
+    n_pad = (-n) % tile
+    rays_padded = jnp.pad(rays, ((0, n_pad), (0, 0)), constant_values=1.0)
+    tiles = rays_padded.reshape(-1, tile, 8)
+
+    out_tiles = jax.lax.map(
+        lambda r: render_rays(params, r, None, eval_settings), tiles
+    )
+    return {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out_tiles.items()}
+
+
+def eval_points(
+    params: Dict[str, Params], points: jnp.ndarray, settings: RenderSettings = RenderSettings()
+) -> jnp.ndarray:
+    """Raw sigma query of the fine model for point-cloud extraction.
+
+    Parity with ``models/rendering.py:64-123`` (``eval_points``).
+    points: (N, 3) world positions -> (N, 1) sigma.
+    """
+    pe = positional_encoding(points, N_FREQS_XYZ)
+    model = params.get("fine", params["coarse"])
+    return nerf_apply(
+        model,
+        pe,
+        None,
+        sigma_only=True,
+        use_new_activation=settings.use_new_activation,
+        compute_dtype=settings.dtype,
+    )
