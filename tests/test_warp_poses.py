@@ -151,14 +151,18 @@ def test_zbuffer_occlusion_prefers_near():
     img = np.zeros((h, w, 3), np.float32)
     img[0, 0] = [1, 0, 0]  # near
     img[2, 2] = [0, 1, 0]  # far
-    depth = np.zeros((h, w), np.float32)
+    depth = np.full((h, w), 3.0, np.float32)
     depth[0, 0] = 2.0
     depth[2, 2] = 4.0
-    # Use a projection that collapses both onto pixel (0,0): scale x/y to 0
-    k = np.array([[1e-6, 0, 0], [0, 1e-6, 0], [0, 0, 1.0]])
-    e = np.eye(4)
-    p = P.projection_matrix(k, e)
-    out, out_d = forward_warp(jnp.asarray(img), jnp.asarray(depth), jnp.asarray(p), jnp.asarray(p))
+    img[depth == 3.0] = 0  # only the two test pixels carry color
+    img[0, 0] = [1, 0, 0]
+    img[2, 2] = [0, 1, 0]
+    # src intrinsics collapse every projected point onto pixel (0,0)
+    ref_p = P.projection_matrix(_simple_k(h, w), np.eye(4))
+    src_p = P.projection_matrix(
+        np.array([[1e-6, 0, 0], [0, 1e-6, 0], [0, 0, 1.0]]), np.eye(4)
+    )
+    out, out_d = forward_warp(jnp.asarray(img), jnp.asarray(depth), jnp.asarray(ref_p), jnp.asarray(src_p))
     np.testing.assert_allclose(np.asarray(out)[0, 0], [1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(float(out_d[0, 0]), 2.0, rtol=1e-6)
 
@@ -171,17 +175,19 @@ def test_lastwrite_warp_prefers_later_source_pixel():
     img[0, 0] = [1, 0, 0]  # first, nearest
     img[0, 3] = [0, 1, 0]  # last, farthest
     depth = np.array([[2.0, 3.0, 3.0, 4.0]], np.float32)
-    k = np.array([[1e-6, 0, 0], [0, 1e-6, 0], [0, 0, 1.0]])
-    p = P.projection_matrix(k, np.eye(4))
+    ref_p = P.projection_matrix(_simple_k(h, w), np.eye(4))
+    src_p = P.projection_matrix(
+        np.array([[1e-6, 0, 0], [0, 1e-6, 0], [0, 0, 1.0]]), np.eye(4)
+    )
     out, out_d = forward_warp(
-        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(p), jnp.asarray(p),
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(ref_p), jnp.asarray(src_p),
         zbuffer=False,
     )
     np.testing.assert_allclose(np.asarray(out)[0, 0], [0, 1, 0], atol=1e-6)
     np.testing.assert_allclose(float(out_d[0, 0]), 4.0, rtol=1e-6)
     # z-buffered mode on the same input keeps the nearest instead
     out2, out_d2 = forward_warp(
-        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(p), jnp.asarray(p),
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(ref_p), jnp.asarray(src_p),
         zbuffer=True,
     )
     np.testing.assert_allclose(np.asarray(out2)[0, 0], [1, 0, 0], atol=1e-6)
