@@ -1,0 +1,279 @@
+"""NeRF-synthetic (blender) single-image datasets.
+
+Parity targets:
+* ``Blender_ray_patch_1image_rot3d_Dataset`` —
+  ``datasets/blender_ray_patch_1image_rot3d.py:153-571``
+* ``Blender_ray_patch_1image_proj_Dataset`` —
+  ``datasets/blender_ray_patch_1image_proj.py`` (same machinery, pseudo views
+  are 60 single-axis rot_z interpolations instead of the 125-pose 3D grid)
+
+Differences from the reference (intentional, documented):
+* Only the reference frame is loaded from disk (the reference iterates every
+  frame and discards all but one, ``blender_rot3d.py:262-326``).
+* The principal point is ``((W-1)/2, (H-1)/2)`` — the reference hardcodes
+  ``(400-1)/2`` (``blender_rot3d.py:206-207``), identical for its 400x400
+  recipes, wrong for any other size.
+* The per-item fresh pseudo-view warp runs on device inside the jitted
+  sampler (SamplerConfig.fresh_warp) instead of host numpy per DataLoader
+  worker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sinnerf_tpu.core.rays import get_ray_directions
+from sinnerf_tpu.data import poses as pose_np
+from sinnerf_tpu.data.base import (
+    SingleImageDataset,
+    build_proj_index,
+    build_warp_banks,
+    load_image,
+    pack_rays_np,
+)
+from sinnerf_tpu.data.sampler import SamplerConfig
+
+# Scene-keyed reference frame table (blender_rot3d.py:223-239).
+REF_IDX = {
+    "lego": 20,
+    "chair": 99,
+    "ship": 80,
+    "hotdog": 3,
+    "mic": 15,
+    "ficus": 22,
+    "drums": 19,
+}
+
+NEAR, FAR = 2.0, 6.0  # blender_rot3d.py:210-211
+
+
+def _scene_ref_idx(root_dir: str) -> Optional[int]:
+    for name, idx in REF_IDX.items():
+        if name in root_dir:
+            return idx
+    return None
+
+
+class BlenderRot3D(SingleImageDataset):
+    """Single-image blender dataset with a 3D-rotated pseudo-view grid."""
+
+    dataset_name = "blender_ray_patch_1image_rot3d"
+    pseudo_mode = "rot3d"
+
+    def __init__(
+        self,
+        root_dir: str,
+        split: str = "train",
+        img_wh: Tuple[int, int] = (400, 400),
+        patch_size: int = 64,
+        sW: int = 1,
+        sH: int = 1,
+        angle: int = 20,
+        load_depth: bool = True,
+        depth_type: str = "nerf",
+        with_ref: bool = True,
+        ref_idx: Optional[int] = None,
+        num_rays: int = 4096,
+        **kwargs,
+    ):
+        assert img_wh[0] == img_wh[1], "image width must equal image height!"
+        self.root_dir = root_dir
+        self.split = split
+        self.img_wh = img_wh
+        self.angle = angle
+        self.white_back = True
+        w, h = img_wh
+
+        # 'lego'/'hotdog' ship a transforms_mytest.json eval split
+        # (blender_rot3d.py:169-172).
+        self.my_test = ("lego" in root_dir) or ("hotdog" in root_dir)
+
+        meta = self._load_meta("train")
+        focal = 0.5 * 800 / np.tan(0.5 * meta["camera_angle_x"])
+        focal *= w / 800
+        self.focal = focal
+        self.k3 = np.array(
+            [[focal, 0, (w - 1) / 2], [0, focal, (h - 1) / 2], [0, 0, 1.0]],
+            dtype=np.float32,
+        )
+        self.directions = np.asarray(get_ray_directions(h, w, focal))
+
+        ridx = ref_idx if ref_idx is not None else _scene_ref_idx(root_dir)
+        if ridx is None:
+            raise NotImplementedError(f"unknown blender scene: {root_dir}")
+        self.ref_idx = ridx
+
+        if split == "train":
+            self._build_train(meta, depth_type, patch_size, sW, sH, num_rays)
+        else:
+            self._build_val(meta)
+
+    # ------------------------------------------------------------------ train
+    def _build_train(self, meta, depth_type, patch_size, sW, sH, num_rays):
+        w, h = self.img_wh
+        frame = meta["frames"][self.ref_idx]
+        ref_c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+        self.ref_c2w = ref_c2w
+
+        img_path = os.path.join(self.root_dir, frame["file_path"] + ".png")
+        ref_image = load_image(img_path, self.img_wh, blend_alpha_to_white=True)
+        ref_depth = self._load_depth(img_path, depth_type)
+
+        rays = pack_rays_np(self.directions, ref_c2w[:3, :4], NEAR, FAR)
+        rgbs = ref_image.reshape(-1, 3)
+        depth = ref_depth.reshape(-1, 1)
+        nonzero = rgbs.sum(-1) != 3  # non-white pixels (blender_rot3d.py:330)
+
+        bank_c2w = pose_np.rot3d_grid(ref_c2w, self.angle)  # (125, 3, 4)
+        ref_proj = pose_np.projection_matrix(
+            self.k3, pose_np.convert_c2w_to_w2c_cv(ref_c2w)
+        )
+        src_projs = np.stack(
+            [
+                pose_np.projection_matrix(
+                    self.k3, pose_np.convert_c2w_to_w2c_cv(c)
+                )
+                for c in bank_c2w
+            ]
+        )
+        bank_rgb, bank_depth = build_warp_banks(
+            ref_image, ref_depth, ref_proj, src_projs,
+            zbuffer=False,  # blender warp is last-write (blender_rot3d.py:148-149)
+        )
+        proj_pose, proj_pix, proj_depth = build_proj_index(bank_rgb, bank_depth)
+
+        scene = {
+            "ref_image": ref_image,
+            "ref_depth": ref_depth,
+            "ref_rays": rays.reshape(h, w, 8),
+            "directions": self.directions.astype(np.float32),
+            "pool_rays": rays[nonzero],
+            "pool_rgbs": rgbs[nonzero],
+            "pool_depth": depth[nonzero],
+            "any_rays": rays,
+            "any_rgbs": rgbs,
+            "any_depth": depth,
+            "proj_pose": proj_pose,
+            "proj_pix": proj_pix,
+            "proj_depth": proj_depth,
+            "bank_c2w": bank_c2w.astype(np.float32),
+            "k3": self.k3,
+            "ref_c2w": ref_c2w[:3, :4].astype(np.float32),
+            "near_far": np.array([NEAR, FAR], np.float32),
+        }
+        self.scene = self._finalize_scene(scene)
+        self.cfg = SamplerConfig(
+            height=h,
+            width=w,
+            psx=patch_size,
+            psy=patch_size,
+            s_row=sW,
+            s_col=sH,
+            num_rays=num_rays,
+            n_any=num_rays // 10,
+            fresh_warp=self.pseudo_mode == "rot3d",
+            angle=self.angle,
+            reject_real_patch="max_nonzero",
+            reject_warp_patch=True,
+        )
+        self.length = max(len(bank_c2w), 1)
+        self.val_rays, self.val_rgbs = [], []
+
+    # -------------------------------------------------------------------- val
+    def _build_val(self, train_meta):
+        if self.my_test:
+            meta = self._load_meta("mytest")
+            frames = meta["frames"][30 - self.angle : 30 + self.angle]
+        else:
+            frames = [train_meta["frames"][self.ref_idx]]
+        self.val_rays, self.val_rgbs = [], []
+        for frame in frames:
+            c2w = np.array(frame["transform_matrix"], dtype=np.float64)[:3, :4]
+            img = load_image(
+                os.path.join(self.root_dir, frame["file_path"] + ".png"),
+                self.img_wh,
+                blend_alpha_to_white=True,
+            )
+            self.val_rays.append(pack_rays_np(self.directions, c2w, NEAR, FAR))
+            self.val_rgbs.append(img.reshape(-1, 3))
+        self.length = len(frames)
+
+    # ---------------------------------------------------------------- helpers
+    def _load_meta(self, which: str) -> dict:
+        with open(os.path.join(self.root_dir, f"transforms_{which}.json")) as f:
+            return json.load(f)
+
+    def _load_depth(self, img_path: str, depth_type: str) -> np.ndarray:
+        """depth_nerf/<frame>.npy ('nerf') or my_testset gt variant
+        (blender_rot3d.py:338-356)."""
+        base = os.path.basename(img_path)
+        if depth_type == "nerf":
+            path = os.path.join(
+                self.root_dir, "depth_nerf", base.replace(".png", ".npy")
+            )
+            depth = np.load(path).astype(np.float32)
+        elif depth_type == "gt":
+            path = os.path.join(
+                self.root_dir, "my_testset", base.replace(".png", "_400.npy")
+            )
+            depth = np.load(path).astype(np.float32)
+            depth[depth > 1000] = 0
+            if depth.ndim == 3:
+                depth = depth[:, :, 0]
+        else:
+            path = os.path.join(
+                self.root_dir, "depth", base.replace(".png", ".npy")
+            )
+            depth = np.load(path).astype(np.float32)
+        return depth
+
+
+class BlenderProj(BlenderRot3D):
+    """Pseudo views are 60 rot_z interpolations over linspace(-angle, angle)
+    (blender_ray_patch_1image_proj.py:355-356); no per-item fresh warp."""
+
+    dataset_name = "blender_ray_patch_1image_proj"
+    pseudo_mode = "proj"
+
+    def _build_train(self, meta, depth_type, patch_size, sW, sH, num_rays):
+        super()._build_train(meta, depth_type, patch_size, sW, sH, num_rays)
+        # Replace the pseudo bank with the rot_z line; rebuild banks/pools.
+        w, h = self.img_wh
+        bank_c2w = pose_np.rot_z_linspace(self.ref_c2w, self.angle, 60)
+        ref_proj = pose_np.projection_matrix(
+            self.k3, pose_np.convert_c2w_to_w2c_cv(self.ref_c2w)
+        )
+        src_projs = np.stack(
+            [
+                pose_np.projection_matrix(
+                    self.k3, pose_np.convert_c2w_to_w2c_cv(c)
+                )
+                for c in bank_c2w
+            ]
+        )
+        ref_image = np.asarray(self.scene["ref_image"])
+        ref_depth = np.asarray(self.scene["ref_depth"])
+        bank_rgb, bank_depth = build_warp_banks(
+            ref_image, ref_depth, ref_proj, src_projs, zbuffer=False
+        )
+        proj_pose, proj_pix, proj_depth = build_proj_index(bank_rgb, bank_depth)
+        scene = {k: np.asarray(v) for k, v in self.scene.items()}
+        scene.update(
+            {
+                "bank_c2w": bank_c2w.astype(np.float32),
+                "bank_rgb": bank_rgb.astype(np.float32),
+                "bank_depth": bank_depth.astype(np.float32),
+                "proj_pose": proj_pose,
+                "proj_pix": proj_pix,
+                "proj_depth": proj_depth,
+            }
+        )
+        self.scene = self._finalize_scene(scene)
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, fresh_warp=False)
+        self.length = max(len(bank_c2w), 1)

@@ -1,0 +1,225 @@
+"""On-device training-batch sampler.
+
+Replaces the reference's 8-process torch DataLoader + per-item numpy sampling
+(``blender_ray_patch_1image_rot3d.py:443-528``, ``llff...proj.py:619-669``,
+``dtu_proj.py:594-654``) with a single jitted function: all random draws come
+from one PRNG key, patch extraction is a strided gather, rejection loops
+become fixed-candidate argmax selection, and the blender pipeline's
+fresh-pseudo-view warp runs as an on-device scatter instead of host numpy.
+
+The emitted batch dict uses the reference's exact key schema (the keys
+``training_step`` actually consumes — see SURVEY.md §2 item 4):
+
+    rays (N, 8) | rgbs (N, 3) | depth (N, 1)          random ref-view rays
+    rays_proj (N, 8) | depth_proj (N, 1)              warped pseudo-view rays
+    real_patch (3, psx, psy)                          ref-image patch
+    rays_full (psx*psy, 8)                            pseudo-view patch rays
+    warp_patch (3, psx, psy) | warp_patch_depth (psx, psy)
+    depth_ray (psx*psy, 8) | depth_gt (psx*psy, 1) | depth_ray_rgb (psx*psy, 3)
+
+Unused-by-training keys of the reference loaders (side_proj, ref_proj,
+side_coord, pose_real/fake, rgbs_proj) are intentionally not produced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from sinnerf_tpu.data import jnp_poses
+from sinnerf_tpu.ops.warp import forward_warp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampling configuration (one per dataset/recipe)."""
+
+    height: int
+    width: int
+    psx: int  # patch rows (patch_size / patch_size_x)
+    psy: int  # patch cols (patch_size / patch_size_y)
+    s_row: int = 1  # row stride (reference sW strides the first spatial axis)
+    s_col: int = 1  # col stride (reference sH)
+    num_rays: int = 4096
+    n_any: int = 0  # blender: num//10 rays drawn from the all-pixel pool
+    fresh_warp: bool = False  # blender rot3d: new gaussian pseudo-view per item
+    angle: int = 20
+    reject_real_patch: str = "none"  # 'none' | 'max_nonzero' | 'mean_gt_001'
+    reject_warp_patch: bool = False
+    candidates: int = 16
+
+    @property
+    def row_limit(self) -> int:
+        # np.random.randint(0, w - (ps-1)*s - 1) upper bound (exclusive)
+        return self.height - (self.psx - 1) * self.s_row - 1
+
+    @property
+    def col_limit(self) -> int:
+        return self.width - (self.psy - 1) * self.s_col - 1
+
+
+def strided_patch(img: jnp.ndarray, ll, up, psx: int, psy: int, s_row: int, s_col: int):
+    """img[ll : ll+(psx-1)*s+1 : s, up : ...] as a gather; img (H, W, ...)."""
+    rows = ll + jnp.arange(psx) * s_row
+    cols = up + jnp.arange(psy) * s_col
+    return img[rows[:, None], cols[None, :]]
+
+
+def _pick_patch_origin(key, cfg: SamplerConfig, validity_fn):
+    """Sample ``candidates`` origins, return the first passing ``validity_fn``
+    (the reference uses an unbounded rejection loop; with 16 candidates the
+    all-invalid probability is negligible, and we fall back to candidate 0)."""
+    k1, k2 = jax.random.split(key)
+    lls = jax.random.randint(k1, (cfg.candidates,), 0, cfg.row_limit)
+    ups = jax.random.randint(k2, (cfg.candidates,), 0, cfg.col_limit)
+    valid = jax.vmap(validity_fn)(lls, ups)
+    i = jnp.argmax(valid)  # first True, or 0 if none
+    return lls[i], ups[i]
+
+
+def _rays_from_dirs(dirs: jnp.ndarray, c2w: jnp.ndarray, near, far) -> jnp.ndarray:
+    """Pack [o, d, near, far] for camera-frame dirs (..., 3) and c2w (3, 4)."""
+    rays_d = dirs @ c2w[:, :3].T
+    rays_o = jnp.broadcast_to(c2w[:, 3], rays_d.shape)
+    nf = jnp.broadcast_to(jnp.stack([near, far]), rays_d.shape[:-1] + (2,))
+    return jnp.concatenate([rays_o, rays_d, nf], axis=-1)
+
+
+def sample_item(
+    scene: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    item_idx: jnp.ndarray,
+    cfg: SamplerConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Draw one training item.  ``scene`` is the array bundle built by the
+    dataset classes (see sinnerf_tpu/data/blender.py etc.):
+
+      ref_image (H,W,3), ref_depth (H,W), ref_rays (H,W,8), directions (H,W,3)
+      pool_rays/rgbs/depth — main ray pool; any_rays/rgbs/depth — blender's
+      all-pixel pool; proj_pose/pix/depth — flat valid warped-pixel index;
+      bank_c2w (P,3,4) pseudo poses (+ bank_rgb/bank_depth warp banks when
+      fresh_warp=False); k3 (3,3), ref_c2w (3,4), near_far (2,).
+    """
+    keys = jax.random.split(key, 8)
+    near, far = scene["near_far"][0], scene["near_far"][1]
+
+    # ---- 1. random ref-view rays (main pool + optional any-pool mix) -------
+    n_main = cfg.num_rays - cfg.n_any
+    i_main = jax.random.randint(keys[0], (n_main,), 0, scene["pool_rays"].shape[0])
+    rays = scene["pool_rays"][i_main]
+    rgbs = scene["pool_rgbs"][i_main]
+    depth = scene["pool_depth"][i_main]
+    if cfg.n_any > 0:
+        i_any = jax.random.randint(
+            keys[1], (cfg.n_any,), 0, scene["any_rays"].shape[0]
+        )
+        rays = jnp.concatenate([rays, scene["any_rays"][i_any]])
+        rgbs = jnp.concatenate([rgbs, scene["any_rgbs"][i_any]])
+        depth = jnp.concatenate([depth, scene["any_depth"][i_any]])
+
+    # ---- 2. projected (warped pseudo-view) rays ----------------------------
+    j = jax.random.randint(
+        keys[2], (cfg.num_rays,), 0, scene["proj_depth"].shape[0]
+    )
+    pose_idx = scene["proj_pose"][j]
+    pix_idx = scene["proj_pix"][j]
+    dirs_flat = scene["directions"].reshape(-1, 3)[pix_idx]  # (N, 3)
+    c2ws = scene["bank_c2w"][pose_idx]  # (N, 3, 4)
+    rays_d = jnp.einsum("nj,nij->ni", dirs_flat, c2ws[:, :, :3])
+    rays_o = c2ws[:, :, 3]
+    nf = jnp.broadcast_to(jnp.stack([near, far]), (cfg.num_rays, 2))
+    rays_proj = jnp.concatenate([rays_o, rays_d, nf], axis=-1)
+    depth_proj = scene["proj_depth"][j][:, None]
+
+    # ---- 3. real (ref-image) patch with rejection --------------------------
+    def real_valid(ll, up):
+        patch = strided_patch(
+            scene["ref_image"], ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
+        )
+        if cfg.reject_real_patch == "max_nonzero":
+            return jnp.max(patch) != 0
+        if cfg.reject_real_patch == "mean_gt_001":
+            return jnp.mean(patch) > 0.01
+        return jnp.bool_(True)
+
+    ll_r, up_r = _pick_patch_origin(keys[3], cfg, real_valid)
+    real_patch = strided_patch(
+        scene["ref_image"], ll_r, up_r, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
+    ).transpose(2, 0, 1)  # (3, psx, psy)
+
+    # ---- 4. pseudo view: fresh gaussian warp (blender) or bank entry -------
+    if cfg.fresh_warp:
+        std = cfg.angle // 2
+        xyz_deg = jax.random.normal(keys[4], (3,)) * std
+        c2w = jnp_poses.rotate_3d(scene["ref_c2w"], *xyz_deg)
+        ref_p = jnp_poses.projection_matrix(
+            scene["k3"], jnp_poses.c2w_to_w2c_cv(scene["ref_c2w"])
+        )
+        src_p = jnp_poses.projection_matrix(
+            scene["k3"], jnp_poses.c2w_to_w2c_cv(c2w)
+        )
+        warp_rgb, warp_depth = forward_warp(
+            scene["ref_image"], scene["ref_depth"], ref_p, src_p, zbuffer=False
+        )
+        pseudo_rays = _rays_from_dirs(scene["directions"], c2w, near, far)
+    else:
+        bank_i = item_idx % scene["bank_c2w"].shape[0]
+        warp_rgb = scene["bank_rgb"][bank_i]
+        warp_depth = scene["bank_depth"][bank_i]
+        pseudo_rays = _rays_from_dirs(
+            scene["directions"], scene["bank_c2w"][bank_i], near, far
+        )
+
+    # ---- 5. pseudo-view patch (fake rays + warp rgb/depth), shared origin --
+    def warp_valid(ll, up):
+        if not cfg.reject_warp_patch:
+            return jnp.bool_(True)
+        dpatch = strided_patch(
+            warp_depth, ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
+        )
+        return jnp.sum(dpatch) != 0
+
+    ll, up = _pick_patch_origin(keys[5], cfg, warp_valid)
+    args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
+    fake_patch = strided_patch(pseudo_rays, *args).reshape(-1, 8)
+    warp_patch = strided_patch(warp_rgb, *args).transpose(2, 0, 1)
+    warp_patch_depth = strided_patch(warp_depth, *args)
+
+    # ---- 6. ref-view patch at the same origin (depth supervision) ----------
+    depth_ray = strided_patch(scene["ref_rays"], *args).reshape(-1, 8)
+    depth_gt = strided_patch(scene["ref_depth"], *args).reshape(-1, 1)
+    depth_ray_rgb = strided_patch(scene["ref_image"], *args).reshape(-1, 3)
+
+    return {
+        "rays": rays,
+        "rgbs": rgbs,
+        "depth": depth,
+        "rays_proj": rays_proj,
+        "depth_proj": depth_proj,
+        "real_patch": real_patch,
+        "rays_full": fake_patch,
+        "warp_patch": warp_patch,
+        "warp_patch_depth": warp_patch_depth,
+        "depth_ray": depth_ray,
+        "depth_gt": depth_gt,
+        "depth_ray_rgb": depth_ray_rgb,
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_size"))
+def sample_batch(
+    scene: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    step: jnp.ndarray,
+    cfg: SamplerConfig,
+    batch_size: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Draw a batch of ``batch_size`` items (vmapped) with a leading batch
+    axis, mirroring the DataLoader collation the trainer expects."""
+    keys = jax.random.split(key, batch_size)
+    idxs = step * batch_size + jnp.arange(batch_size)
+    return jax.vmap(lambda k, i: sample_item(scene, k, i, cfg))(keys, idxs)

@@ -1,0 +1,210 @@
+"""Dataset-family tests: build each loader on a synthetic miniature scene and
+check the emitted batch schema/shapes against the reference contract
+(SURVEY.md §2 items 16-20)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sinnerf_tpu.data import dataset_dict
+from sinnerf_tpu.data.depth_io import read_pfm, save_pfm
+from sinnerf_tpu.data.synthetic import (
+    make_blender_scene,
+    make_dtu_scene,
+    make_llff_scene,
+)
+
+PSX, PSY = 12, 12
+NUM_RAYS = 256
+
+
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory):
+    return make_blender_scene(str(tmp_path_factory.mktemp("blender")), (64, 64))
+
+
+@pytest.fixture(scope="module")
+def llff_root(tmp_path_factory):
+    return make_llff_scene(str(tmp_path_factory.mktemp("llff")), (64, 48))
+
+
+@pytest.fixture(scope="module")
+def dtu_root(tmp_path_factory):
+    return make_dtu_scene(str(tmp_path_factory.mktemp("dtu")), (64, 64))
+
+
+def _check_batch_schema(batch, psx, psy, num_rays, bs=1):
+    want = {
+        "rays": (bs, num_rays, 8),
+        "rgbs": (bs, num_rays, 3),
+        "depth": (bs, num_rays, 1),
+        "rays_proj": (bs, num_rays, 8),
+        "depth_proj": (bs, num_rays, 1),
+        "real_patch": (bs, 3, psx, psy),
+        "rays_full": (bs, psx * psy, 8),
+        "warp_patch": (bs, 3, psx, psy),
+        "warp_patch_depth": (bs, psx, psy),
+        "depth_ray": (bs, psx * psy, 8),
+        "depth_gt": (bs, psx * psy, 1),
+        "depth_ray_rgb": (bs, psx * psy, 3),
+    }
+    assert set(batch) == set(want)
+    for k, shape in want.items():
+        assert batch[k].shape == shape, f"{k}: {batch[k].shape} != {shape}"
+        assert np.isfinite(np.asarray(batch[k])).all(), f"{k} has non-finite"
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(1, 10, size=(13, 17)).astype(np.float32)
+    path = str(tmp_path / "d.pfm")
+    save_pfm(path, depth)
+    back, scale = read_pfm(path)
+    np.testing.assert_array_equal(back, depth)
+
+
+def test_blender_rot3d_train(blender_root):
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root,
+        split="train",
+        img_wh=(64, 64),
+        patch_size=PSX,
+        sW=2,
+        sH=2,
+        angle=20,
+        ref_idx=0,
+        num_rays=NUM_RAYS,
+    )
+    assert ds.white_back
+    assert len(ds) == 125  # rot3d pseudo-pose grid
+    batch = ds.sample(jax.random.key(0), step=0)
+    _check_batch_schema(batch, PSX, PSY, NUM_RAYS)
+    # near/far planes packed into every ray
+    np.testing.assert_allclose(np.asarray(batch["rays"])[..., 6], 2.0)
+    np.testing.assert_allclose(np.asarray(batch["rays"])[..., 7], 6.0)
+    # real patch comes from the ref image: rejection keeps some object pixels
+    assert float(np.max(np.asarray(batch["real_patch"]))) > 0
+    # proj depths positive (holes are excluded from the pool)
+    assert float(np.min(np.asarray(batch["depth_proj"]))) > 0
+
+
+def test_blender_rot3d_batch_and_determinism(blender_root):
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
+        ref_idx=0, num_rays=NUM_RAYS,
+    )
+    b2 = ds.sample(jax.random.key(3), step=5, batch_size=2)
+    _check_batch_schema(b2, PSX, PSY, NUM_RAYS, bs=2)
+    again = ds.sample(jax.random.key(3), step=5, batch_size=2)
+    np.testing.assert_array_equal(
+        np.asarray(b2["rays_full"]), np.asarray(again["rays_full"])
+    )
+    other = ds.sample(jax.random.key(4), step=5, batch_size=2)
+    assert not np.allclose(np.asarray(b2["rays"]), np.asarray(other["rays"]))
+
+
+def test_blender_val(blender_root):
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="val", img_wh=(64, 64), ref_idx=0, angle=20,
+    )
+    item = ds.val_item(0)
+    assert item["rays"].shape == (64 * 64, 8)
+    assert item["rgbs"].shape == (64 * 64, 3)
+
+
+def test_blender_proj_train(blender_root):
+    ds = dataset_dict["blender_ray_patch_1image_proj"](
+        blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
+        ref_idx=0, num_rays=NUM_RAYS,
+    )
+    assert len(ds) == 60  # rot_z linspace bank
+    batch = ds.sample(jax.random.key(1), step=0)
+    _check_batch_schema(batch, PSX, PSY, NUM_RAYS)
+
+
+def test_llff_proj_train(llff_root):
+    ds = dataset_dict["llff_ray_patch_1image_proj"](
+        llff_root,
+        split="train",
+        img_wh=(64, 48),
+        patch_size_x=PSX,
+        patch_size_y=16,
+        sW=2,
+        sH=2,
+        num_rays=NUM_RAYS,
+    )
+    assert not ds.white_back
+    batch = ds.sample(jax.random.key(0), step=0)
+    _check_batch_schema(batch, PSX, 16, NUM_RAYS)
+    # LLFF near/far derive from the bounds rescale: near ~ 0.9/0.75 = 1.2
+    np.testing.assert_allclose(np.asarray(batch["rays"])[..., 6], 1.2, rtol=1e-5)
+
+
+def test_llff_proj_val_and_test(llff_root):
+    val = dataset_dict["llff_ray_patch_1image_proj"](
+        llff_root, split="val", img_wh=(64, 48)
+    )
+    assert val.val_len() == 5
+    item = val.val_item(2)
+    assert item["rays"].shape == (48 * 64, 8)
+    test = dataset_dict["llff_ray_patch_1image_proj"](
+        llff_root, split="test", img_wh=(64, 48)
+    )
+    assert test.val_len() == 120  # spiral path
+
+
+def test_llff_eval_dataset(llff_root):
+    ds = dataset_dict["llff"](llff_root, split="val", img_wh=(64, 48))
+    assert ds.val_len() == 1
+    item = ds.val_item(0)
+    assert item["rays"].shape == (48 * 64, 8)
+    assert item["rgbs"].shape == (48 * 64, 3)
+    test = dataset_dict["llff"](llff_root, split="test", img_wh=(64, 48))
+    assert test.val_len() == 120
+
+
+def test_dtu_train(dtu_root):
+    ds = dataset_dict["dtu_proj"](
+        dtu_root,
+        split="train",
+        img_wh=(64, 64),
+        scan=4,
+        patch_size_x=PSX,
+        patch_size_y=PSY,
+        num_rays=NUM_RAYS,
+    )
+    assert ds.white_back
+    assert len(ds) == 3  # one pseudo view per src view
+    batch = ds.sample(jax.random.key(0), step=0)
+    _check_batch_schema(batch, PSX, PSY, NUM_RAYS)
+    # near/far from the cam file: 425*1/200 = 2.125, + 2.5*192/200
+    np.testing.assert_allclose(np.asarray(batch["rays"])[..., 6], 2.125, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(batch["rays"])[..., 7], 2.125 + 2.5 * 192 / 200, rtol=1e-5
+    )
+
+
+def test_dtu_val(dtu_root):
+    ds = dataset_dict["dtu_proj"](dtu_root, split="val", img_wh=(64, 64), scan=4)
+    assert ds.val_len() == 4  # ref + 3 src poses
+    item = ds.val_item(0)
+    assert item["rays"].shape == (64 * 64, 8)
+
+
+def test_blender_warp_patch_consistency(blender_root):
+    """depth_ray / depth_gt / depth_ray_rgb share the warp patch origin: the
+    gathered ref rays must match ref_rays at the strided offsets."""
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
+        ref_idx=0, num_rays=NUM_RAYS,
+    )
+    batch = ds.sample(jax.random.key(7), step=0)
+    depth_ray = np.asarray(batch["depth_ray"])[0]
+    ref_rays = np.asarray(ds.scene["ref_rays"]).reshape(-1, 8)
+    # every depth_ray row exists in the ref ray grid
+    assert all(
+        np.isclose(ref_rays, depth_ray[i]).all(axis=1).any()
+        for i in range(0, PSX * PSY, 37)
+    )
