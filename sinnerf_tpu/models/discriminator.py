@@ -1,0 +1,194 @@
+"""PatchGAN discriminator as pure functions with explicit spectral-norm state.
+
+Parity target: ``models/discriminator.py:57-171`` — a DCGAN-style conv stack
+keyed on ``imsize`` (128/64/32/else-16 branches), spectral norm on every conv,
+InstanceNorm (no affine), LeakyReLU(0.2), DiffAugment applied internally with
+probability 0.5, optional conditional head with a scale embedding.
+
+TPU-first notes: spectral norm's power-iteration buffer (a mutable torch
+buffer) becomes explicit ``(params, sn_state) -> (logits, new_sn_state)``
+threading; convolutions are ``lax.conv_general_dilated`` in NCHW which XLA
+maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sinnerf_tpu.core.encoding import positional_encoding
+from sinnerf_tpu.models.diffaug import diff_augment
+
+Params = Dict[str, Any]
+
+
+def _conv_spec(imsize: int, ndf: int, nc: int = 3, final_dim: int = 1):
+    """(in_ch, out_ch, norm?) per layer, matching the imsize branches at
+    discriminator.py:87-154.  All convs are 4x4; every layer except the last
+    uses stride 2 pad 1; the last is stride 1 pad 0."""
+    if imsize == 128:
+        spec = [
+            (nc, ndf // 2, False),
+            (ndf // 2, ndf, True),
+            (ndf, ndf * 2, True),
+            (ndf * 2, ndf * 4, True),
+        ]
+    elif imsize == 64:
+        spec = [
+            (nc, ndf, False),
+            (ndf, ndf * 2, True),
+            (ndf * 2, ndf * 4, True),
+        ]
+    elif imsize == 32:
+        spec = [
+            (nc, ndf * 2, True),
+            (ndf * 2, ndf * 4, True),
+        ]
+    else:
+        spec = [(nc, ndf * 4, True)]
+    spec += [
+        (ndf * 4, ndf * 8, True),
+        (ndf * 8, final_dim, False),  # final conv: stride 1, pad 0
+    ]
+    return spec
+
+
+def init_discriminator(
+    key: jax.Array,
+    imsize: int,
+    ndf: int = 64,
+    conditional: bool = False,
+) -> Tuple[Params, Params]:
+    """Build (params, sn_state).  sn_state holds the power-iteration ``u``
+    vector per spectrally-normalized conv."""
+    final_dim = ndf if conditional else 1
+    spec = _conv_spec(imsize, ndf, final_dim=final_dim)
+    params: Params = {"convs": []}
+    sn_state: Params = {"convs": []}
+    keys = jax.random.split(key, len(spec) + 4)
+    for i, (cin, cout, _) in enumerate(spec):
+        fan_in = cin * 16
+        bound = 1.0 / math.sqrt(fan_in)
+        w = jax.random.uniform(
+            keys[i], (cout, cin, 4, 4), jnp.float32, -bound, bound
+        )
+        params["convs"].append({"w": w})
+        sn_state["convs"].append(
+            {"u": jax.random.normal(jax.random.fold_in(keys[i], 1), (cout,))}
+        )
+    if conditional:
+        # 1x1 conv head over [features, scale-embedding] (discriminator.py:70-82)
+        emb_ch = 1 * (2 * 4 + 1)  # Embedding(1, 4)
+        head_spec = [(ndf + emb_ch, ndf), (ndf, ndf), (ndf, 1)]
+        params["head"] = []
+        sn_state["head"] = []
+        for i, (cin, cout) in enumerate(head_spec):
+            bound = 1.0 / math.sqrt(cin)
+            w = jax.random.uniform(
+                keys[len(spec) + i], (cout, cin, 1, 1), jnp.float32, -bound, bound
+            )
+            params["head"].append({"w": w})
+            sn_state["head"].append(
+                {"u": jax.random.normal(jax.random.fold_in(keys[len(spec) + i], 1), (cout,))}
+            )
+    return params, sn_state
+
+
+def _spectral_norm(
+    w: jnp.ndarray, u: jnp.ndarray, update: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One torch-style power iteration: v = normalize(W^T u); u' =
+    normalize(W v); sigma = u'^T W v; returns (W / sigma, u')."""
+    w2d = w.reshape(w.shape[0], -1)
+
+    def norm(v):
+        return v / (jnp.linalg.norm(v) + 1e-12)
+
+    if update:
+        v = norm(w2d.T @ u)
+        u_new = norm(w2d @ v)
+    else:
+        v = norm(w2d.T @ u)
+        u_new = u
+    sigma = u_new @ (w2d @ v)
+    # Power iteration is not part of the training objective.
+    sigma = jax.lax.stop_gradient(sigma)
+    u_new = jax.lax.stop_gradient(u_new)
+    return w / sigma, u_new
+
+
+def _conv(x, w, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+    var = jnp.var(x, axis=(2, 3), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def discriminator_apply(
+    params: Params,
+    sn_state: Params,
+    x: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    y: Optional[jnp.ndarray] = None,
+    policy: str = "color,cutout",
+    train: bool = True,
+    ndf: int = 64,
+    imsize: int = 64,
+) -> Tuple[jnp.ndarray, Params]:
+    """Forward (N, 3, H, W) -> logits.  Applies DiffAugment internally with
+    probability 0.5 when a key is given (discriminator.py:159-160); returns
+    (logits, new_sn_state)."""
+    if key is not None and policy:
+        k_coin, k_aug = jax.random.split(key)
+        augmented = diff_augment(x, k_aug, policy)
+        apply_aug = jax.random.bernoulli(k_coin, 0.5)
+        x = jnp.where(apply_aug, augmented, x)
+
+    conditional = "head" in params
+    spec = _conv_spec(imsize, ndf, final_dim=ndf if conditional else 1)
+    new_sn = {"convs": []}
+    h = x
+    n_layers = len(spec)
+    for i, (cin, cout, use_norm) in enumerate(spec):
+        w_sn, u_new = _spectral_norm(
+            params["convs"][i]["w"], sn_state["convs"][i]["u"], update=train
+        )
+        new_sn["convs"].append({"u": u_new})
+        last = i == n_layers - 1
+        h = _conv(h, w_sn, stride=1 if last else 2, padding=0 if last else 1)
+        if not last:
+            if use_norm:
+                h = _instance_norm(h)
+            h = jax.nn.leaky_relu(h, 0.2)
+
+    if conditional:
+        if y is None:
+            raise ValueError("conditional discriminator needs y")
+        h = jax.nn.leaky_relu(h, 0.2)
+        emb = positional_encoding(y.reshape(-1, 1), 4)  # (N, 9)
+        emb = emb[:, :, None, None]
+        h = jnp.concatenate([h, jnp.broadcast_to(emb, emb.shape[:2] + h.shape[2:])], axis=1)
+        new_sn["head"] = []
+        for i, layer in enumerate(params["head"]):
+            w_sn, u_new = _spectral_norm(
+                layer["w"], sn_state["head"][i]["u"], update=train
+            )
+            new_sn["head"].append({"u": u_new})
+            h = _conv(h, w_sn, stride=1, padding=0)
+            if i < len(params["head"]) - 1:
+                h = jax.nn.leaky_relu(h, 0.2)
+        h = h.reshape(-1)
+
+    return h, new_sn

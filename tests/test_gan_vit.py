@@ -1,0 +1,192 @@
+"""Tests for the discriminator / DiffAugment / ViT / VGG branches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sinnerf_tpu.models.diffaug import diff_augment, rand_cutout
+from sinnerf_tpu.models.discriminator import (
+    _spectral_norm,
+    discriminator_apply,
+    init_discriminator,
+)
+from sinnerf_tpu.models.vgg import (
+    import_torch_vgg_state,
+    init_vgg_params,
+    vgg_features,
+    vgg_preprocess,
+)
+from sinnerf_tpu.models.vit import (
+    import_torch_vit_state,
+    init_vit_params,
+    vit_cls_feature,
+    vit_preprocess,
+    vit_tokens,
+)
+
+
+@pytest.mark.parametrize("imsize", [16, 32, 64, 128])
+def test_discriminator_output_shape(imsize):
+    key = jax.random.key(0)
+    params, sn = init_discriminator(key, imsize)
+    x = jax.random.uniform(jax.random.key(1), (2, 3, imsize, imsize))
+    logits, new_sn = discriminator_apply(
+        params, sn, x, key=jax.random.key(2), imsize=imsize
+    )
+    assert logits.shape == (2, 1, 1, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+    # power iteration updated u
+    u0 = np.asarray(sn["convs"][0]["u"])
+    u1 = np.asarray(new_sn["convs"][0]["u"])
+    assert not np.allclose(u0, u1)
+
+
+def test_discriminator_eval_mode_no_state_update():
+    params, sn = init_discriminator(jax.random.key(0), 32)
+    x = jax.random.uniform(jax.random.key(1), (1, 3, 32, 32))
+    _, new_sn = discriminator_apply(params, sn, x, key=None, train=False, imsize=32)
+    for a, b in zip(sn["convs"], new_sn["convs"]):
+        np.testing.assert_array_equal(np.asarray(a["u"]), np.asarray(b["u"]))
+
+
+def test_discriminator_grads_flow():
+    params, sn = init_discriminator(jax.random.key(0), 32)
+    x = jax.random.uniform(jax.random.key(1), (1, 3, 32, 32))
+
+    def loss(p):
+        logits, _ = discriminator_apply(p, sn, x, key=None, imsize=32)
+        return jnp.mean(logits)
+
+    grads = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l["w"]).sum()) for l in grads["convs"])
+    assert total > 0
+
+
+def test_spectral_norm_converges_to_largest_singular_value():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    for _ in range(50):
+        w_sn, u = _spectral_norm(w, u, update=True)
+    true_sigma = np.linalg.svd(np.asarray(w), compute_uv=False)[0]
+    got_sigma = float(np.linalg.svd(np.asarray(w * true_sigma / true_sigma), compute_uv=False)[0])
+    # after normalization the top singular value of w_sn should be ~1
+    np.testing.assert_allclose(
+        np.linalg.svd(np.asarray(w_sn), compute_uv=False)[0], 1.0, rtol=1e-3
+    )
+
+
+def test_conditional_discriminator():
+    params, sn = init_discriminator(jax.random.key(0), 32, conditional=True)
+    x = jax.random.uniform(jax.random.key(1), (2, 3, 32, 32))
+    y = jnp.array([0.5, 1.0])
+    logits, _ = discriminator_apply(params, sn, x, key=None, y=y, imsize=32)
+    assert logits.shape == (2,)
+
+
+# ------------------------------------------------------------------ diffaug
+def test_diffaug_skip_is_identity():
+    x = jax.random.uniform(jax.random.key(0), (2, 3, 16, 16))
+    out = diff_augment(x, jax.random.key(1), policy="color,cutout", skip_prob=1.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_diffaug_changes_input():
+    x = jax.random.uniform(jax.random.key(0), (2, 3, 16, 16))
+    out = diff_augment(x, jax.random.key(1), policy="color,cutout", skip_prob=0.0)
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_cutout_zeroes_a_box():
+    x = jnp.ones((1, 3, 32, 32))
+    out = np.asarray(rand_cutout(x, jax.random.key(0)))
+    zero_frac = (out[0, 0] == 0).mean()
+    # a 16x16 box (possibly clipped) out of 32x32 -> between ~6% and exactly 25%
+    assert 0.05 < zero_frac <= 0.25
+
+
+def test_diffaug_grads_flow_through():
+    x = jax.random.uniform(jax.random.key(0), (1, 3, 16, 16))
+
+    def loss(inp):
+        return jnp.sum(diff_augment(inp, jax.random.key(1), skip_prob=0.0) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------------------------------------------------------------- vit
+def test_vit_shapes():
+    params = init_vit_params(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (2, 3, 224, 224))
+    tokens = vit_tokens(params, x)
+    assert tokens.shape == (12, 2, 197, 384)
+    feat = vit_cls_feature(params, jax.random.uniform(jax.random.key(2), (1, 3, 64, 64)))
+    assert feat.shape == (384,)
+
+
+def test_vit_preprocess_resizes_and_normalizes():
+    x = jnp.ones((1, 3, 64, 64)) * 0.5
+    out = np.asarray(vit_preprocess(x))
+    assert out.shape == (1, 3, 224, 224)
+    want = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0, :, 0, 0], want, rtol=1e-5)
+
+
+def test_vit_torch_state_conversion():
+    """Converter maps DINO/timm names and transposes linear weights."""
+    rng = np.random.default_rng(0)
+    state = {
+        "patch_embed.proj.weight": rng.normal(size=(384, 3, 16, 16)).astype(np.float32),
+        "patch_embed.proj.bias": rng.normal(size=(384,)).astype(np.float32),
+        "cls_token": rng.normal(size=(1, 1, 384)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, 197, 384)).astype(np.float32),
+    }
+    for i in range(12):
+        p = f"blocks.{i}."
+        state.update(
+            {
+                p + "norm1.weight": np.ones(384, np.float32),
+                p + "norm1.bias": np.zeros(384, np.float32),
+                p + "attn.qkv.weight": rng.normal(size=(1152, 384)).astype(np.float32),
+                p + "attn.qkv.bias": np.zeros(1152, np.float32),
+                p + "attn.proj.weight": rng.normal(size=(384, 384)).astype(np.float32),
+                p + "attn.proj.bias": np.zeros(384, np.float32),
+                p + "norm2.weight": np.ones(384, np.float32),
+                p + "norm2.bias": np.zeros(384, np.float32),
+                p + "mlp.fc1.weight": rng.normal(size=(1536, 384)).astype(np.float32),
+                p + "mlp.fc1.bias": np.zeros(1536, np.float32),
+                p + "mlp.fc2.weight": rng.normal(size=(384, 1536)).astype(np.float32),
+                p + "mlp.fc2.bias": np.zeros(384, np.float32),
+            }
+        )
+    params = import_torch_vit_state(state)
+    np.testing.assert_array_equal(
+        np.asarray(params["blocks"][0]["qkv"]["w"]),
+        state["blocks.0.attn.qkv.weight"].T,
+    )
+    x = jax.random.uniform(jax.random.key(0), (1, 3, 224, 224))
+    assert vit_tokens(params, x).shape == (12, 1, 197, 384)
+
+
+# ---------------------------------------------------------------------- vgg
+def test_vgg_feature_shape():
+    params = init_vgg_params(jax.random.key(0))
+    x = vgg_preprocess(jax.random.uniform(jax.random.key(1), (1, 3, 64, 64)))
+    feats = vgg_features(params, x)
+    assert feats.shape == (1, 512, 28, 28)
+
+
+def test_vgg_torch_conversion_matches_torchvision_layout():
+    rng = np.random.default_rng(1)
+    cfg = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+           (256, 256), (512, 256), (512, 512), (512, 512)]
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    state = {}
+    for idx, (cout, cin) in zip(conv_idx, cfg):
+        state[f"features.{idx}.weight"] = rng.normal(size=(cout, cin, 3, 3)).astype(np.float32)
+        state[f"features.{idx}.bias"] = rng.normal(size=(cout,)).astype(np.float32)
+    params = import_torch_vgg_state(state)
+    assert len(params) == 10
+    assert params[-1]["w"].shape == (512, 512, 3, 3)
