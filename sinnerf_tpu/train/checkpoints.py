@@ -1,0 +1,106 @@
+"""Checkpointing: orbax for native checkpoints + PyTorch ckpt interop.
+
+Parity targets:
+* ``ModelCheckpoint(monitor='val/psnr', mode='max', save_top_k=2,
+  save_last=True)`` — ``train.py:34-35``
+* warm start ``--pt_model`` with ``--nerf_only`` filtering — ``train.py:22-33``
+* prefix-filtered partial load ``load_ckpt`` — ``utils/__init__.py:60-83``
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from sinnerf_tpu.models.nerf import import_torch_state
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, name: str, tree: Dict[str, Any]) -> str:
+    """Save a pytree checkpoint under ckpt_dir/name (overwrites)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    # jax arrays -> host numpy for a portable checkpoint
+    host_tree = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
+    )
+    cp = _checkpointer()
+    cp.save(path, host_tree, force=True)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    cp = _checkpointer()
+    return cp.restore(os.path.abspath(path))
+
+
+class TopKCheckpointManager:
+    """Keep the best-k checkpoints by val/psnr plus a rolling 'last'
+    (train.py:34-35 semantics)."""
+
+    def __init__(self, ckpt_dir: str, top_k: int = 2):
+        self.ckpt_dir = ckpt_dir
+        self.top_k = top_k
+        self.best: list[tuple[float, str]] = []
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def save(self, tree: Dict[str, Any], epoch: int, val_psnr: float) -> None:
+        save_checkpoint(self.ckpt_dir, "last", tree)
+        name = f"epoch_{epoch}_psnr_{val_psnr:.2f}"
+        if len(self.best) < self.top_k or val_psnr > self.best[-1][0]:
+            save_checkpoint(self.ckpt_dir, name, tree)
+            self.best.append((val_psnr, name))
+            self.best.sort(key=lambda t: -t[0])
+            while len(self.best) > self.top_k:
+                _, drop = self.best.pop()
+                drop_path = os.path.join(self.ckpt_dir, drop)
+                if os.path.isdir(drop_path):
+                    import shutil
+
+                    shutil.rmtree(drop_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint interop
+# ---------------------------------------------------------------------------
+
+def load_torch_nerf_checkpoint(
+    path: str, nerf_only: bool = True
+) -> Dict[str, Any]:
+    """Load a reference (pytorch-lightning) checkpoint and extract the
+    coarse/fine NeRF weights as our param pytrees.
+
+    Mirrors ``extract_model_state_dict``/``load_ckpt``
+    (utils/__init__.py:60-83) + the ``--nerf_only`` filter (train.py:24-30).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    out: Dict[str, Any] = {}
+    for name, prefix in (("coarse", "nerf_coarse."), ("fine", "nerf_fine.")):
+        try:
+            out[name] = import_torch_state(state, model_prefix=prefix)
+        except KeyError:
+            pass
+    if not out:
+        # eval.py loads bare-NeRF ckpts with load_ckpt(model_name='nerf_coarse')
+        # where keys may carry a 'model.' wrapper; try common wrappings.
+        for wrapper in ("model.", "module."):
+            for name, prefix in (("coarse", "nerf_coarse."), ("fine", "nerf_fine.")):
+                try:
+                    out[name] = import_torch_state(state, model_prefix=wrapper + prefix)
+                except KeyError:
+                    pass
+            if out:
+                break
+    if not out:
+        raise KeyError(f"no NeRF weights found in {path}")
+    return out

@@ -1,0 +1,283 @@
+"""Training driver: the reference's pytorch-lightning ``Trainer`` + ``SinNeRF``
+LightningModule collapse into one explicit loop.
+
+Parity targets:
+* system construction — ``models/sinnerf.py:124-210`` (embeddings, coarse/fine
+  NeRF, optional D and ViT, loss selection, two optimizers with D at 0.2x lr)
+* fit loop — ``train.py:44-62`` (sanity val step, val every N epochs,
+  ModelCheckpoint top-2+last on val/psnr, TensorBoard logging)
+* validation — ``models/sinnerf.py:556-586`` (full-image render, PSNR mean,
+  image triptych every 5th batch)
+
+The loop is host-side Python; everything per-step (sampling, rendering,
+losses, both optimizer updates) is inside the jitted ``train_step``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sinnerf_tpu.data import dataset_dict
+from sinnerf_tpu.models.nerf import init_nerf_params
+from sinnerf_tpu.models.discriminator import init_discriminator
+from sinnerf_tpu.models.vit import load_vit_params
+from sinnerf_tpu.render.renderer import RenderSettings, render_chunked
+from sinnerf_tpu.train.checkpoints import (
+    TopKCheckpointManager,
+    load_checkpoint,
+    load_torch_nerf_checkpoint,
+    save_checkpoint,
+)
+from sinnerf_tpu.train.optimizers import get_optimizer, lr_for_epoch, set_lr
+from sinnerf_tpu.train.step import TrainConfig, TrainState, train_step
+from sinnerf_tpu.utils.metrics import psnr as psnr_metric
+from sinnerf_tpu.utils.visualization import visualize_depth
+
+
+def build_render_settings(hparams: Any, white_back: bool) -> RenderSettings:
+    return RenderSettings(
+        n_samples=hparams.N_samples,
+        n_importance=hparams.N_importance,
+        use_disp=hparams.use_disp,
+        perturb=hparams.perturb,
+        noise_std=hparams.noise_std,
+        white_back=white_back,
+        compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+        mlp_impl=getattr(hparams, "mlp_impl", "xla"),
+    )
+
+
+class SinNeRFTrainer:
+    def __init__(self, hparams: Any):
+        self.hparams = hparams
+        key = jax.random.key(getattr(hparams, "seed", 0))
+        self.key, *init_keys = jax.random.split(key, 5)
+
+        ds_cls = dataset_dict[hparams.dataset_name]
+        ds_kwargs = dict(vars(hparams))
+        ds_kwargs["img_wh"] = tuple(hparams.img_wh)
+        ds_kwargs["num_rays"] = getattr(hparams, "num_rays", 4096)
+        root = ds_kwargs.pop("root_dir")
+        self.train_dataset = ds_cls(root, split="train", **ds_kwargs)
+        self.val_dataset = ds_cls(root, split="val", **ds_kwargs)
+
+        self.render_settings = build_render_settings(
+            hparams, self.train_dataset.white_back
+        )
+        self.cfg = TrainConfig(
+            render=self.render_settings,
+            dataset_name=hparams.dataset_name,
+            loss_type=hparams.loss_type,
+            patch_loss=hparams.patch_loss,
+            dloss=hparams.dloss,
+            depth_weight=hparams.depth_weight,
+            vit_weight=hparams.vit_weight,
+            dis_weight=hparams.dis_weight,
+            proj_weight=hparams.proj_weight,
+            depth_smooth_weight=hparams.depth_smooth_weight,
+            depth_anneal=hparams.depth_anneal,
+            load_depth=hparams.load_depth,
+            imsize=hparams.patch_size,
+        )
+
+        # ---- models -------------------------------------------------------
+        params = {
+            "coarse": init_nerf_params(init_keys[0]),
+            "fine": init_nerf_params(init_keys[1]),
+        }
+        if hparams.pt_model:  # warm start (train.py:22-33)
+            loaded = self._load_any_checkpoint(hparams.pt_model)
+            params.update(loaded)
+        d_params, sn_state, opt_d_state = None, None, None
+        self.opt_d = None
+        if hparams.dis_weight > 0:
+            d_params, sn_state = init_discriminator(
+                init_keys[2], hparams.patch_size
+            )
+            self.opt_d = get_optimizer(hparams, rate=0.2)  # sinnerf.py:208
+            opt_d_state = self.opt_d.init(d_params)
+        vit_params = None
+        ref_feature = None
+        if hparams.vit_weight > 0:
+            vit_params = load_vit_params(
+                getattr(hparams, "vit_weights", None), init_keys[3]
+            )
+            ref_feature = jnp.zeros((384,))
+
+        self.opt_g = get_optimizer(hparams)
+        self.state = TrainState(
+            params=params,
+            opt_g=self.opt_g.init(params),
+            d_params=d_params,
+            sn_state=sn_state,
+            opt_d=opt_d_state,
+            vit_params=vit_params,
+            ref_feature=ref_feature,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.start_epoch = 0
+        if hparams.ckpt_path:  # full resume (train.py:46)
+            self._resume(hparams.ckpt_path)
+
+        # ---- logging / checkpoints ---------------------------------------
+        self.ckpt_manager = TopKCheckpointManager(
+            os.path.join(hparams.ckpt_dir, hparams.exp_name), top_k=2
+        )
+        self.writer = self._make_writer()
+
+    # ------------------------------------------------------------------ io
+    def _make_writer(self):
+        try:
+            from tensorboardX import SummaryWriter
+
+            return SummaryWriter(
+                os.path.join(self.hparams.log_dir, self.hparams.exp_name)
+            )
+        except Exception:
+            return None
+
+    def _load_any_checkpoint(self, path: str) -> Dict[str, Any]:
+        """Accept either our orbax checkpoints or reference torch ckpts."""
+        if os.path.isdir(path):
+            tree = load_checkpoint(path)
+            params = tree["params"] if "params" in tree else tree
+            return {k: params[k] for k in ("coarse", "fine") if k in params}
+        return load_torch_nerf_checkpoint(
+            path, nerf_only=getattr(self.hparams, "nerf_only", False)
+        )
+
+    def _resume(self, path: str) -> None:
+        tree = load_checkpoint(path)
+        restored = jax.tree_util.tree_map(jnp.asarray, tree["state"])
+        self.state = TrainState(*[restored[f] for f in TrainState._fields])
+        self.start_epoch = int(tree.get("epoch", 0))
+
+    def _save(self, epoch: int, val_psnr: float) -> None:
+        tree = {
+            "state": dict(self.state._asdict()),
+            "epoch": epoch,
+            "val_psnr": val_psnr,
+            "hparams": {
+                k: v
+                for k, v in vars(self.hparams).items()
+                if isinstance(v, (int, float, str, bool, list, tuple))
+            },
+        }
+        self.ckpt_manager.save(tree, epoch, val_psnr)
+
+    # --------------------------------------------------------------- train
+    def steps_per_epoch(self) -> int:
+        return max(
+            1, math.ceil(len(self.train_dataset) / self.hparams.batch_size)
+        )
+
+    def fit(self, max_epochs: Optional[int] = None) -> float:
+        hp = self.hparams
+        max_epochs = max_epochs or hp.num_epochs
+        best_psnr = -1.0
+
+        # sanity val (train.py:54 num_sanity_val_steps=1)
+        self.validate(self.start_epoch, max_batches=1, log=False)
+
+        spe = self.steps_per_epoch()
+        for epoch in range(self.start_epoch, max_epochs):
+            lr = lr_for_epoch(hp, epoch)
+            self.state = self.state._replace(
+                opt_g=set_lr(self.state.opt_g, lr)
+            )
+            if self.state.opt_d is not None:
+                self.state = self.state._replace(
+                    opt_d=set_lr(self.state.opt_d, lr, rate=0.2)
+                )
+            t0 = time.time()
+            for i in range(spe):
+                self.key, k_batch, k_step = jax.random.split(self.key, 3)
+                batch = self.train_dataset.sample(
+                    k_batch, step=epoch * spe + i, batch_size=hp.batch_size
+                )
+                self.state, out = train_step(
+                    self.state,
+                    batch,
+                    k_step,
+                    jnp.asarray(epoch, jnp.float32),
+                    self.cfg,
+                    self.opt_g,
+                    self.opt_d,
+                )
+                step = int(self.state.step)
+                if step % 10 == 0:
+                    self._log_scalars(out["metrics"], step, lr)
+                    self._log_images(out["images"], step)
+            dt = time.time() - t0
+            if self.writer:
+                self.writer.add_scalar("train/epoch_time", dt, epoch)
+
+            if (epoch + 1) % hp.check_val_every_n_epoch == 0:
+                val_psnr = self.validate(epoch)
+                best_psnr = max(best_psnr, val_psnr)
+                self._save(epoch, val_psnr)
+        return best_psnr
+
+    def _log_scalars(self, metrics: Dict[str, Any], step: int, lr: float):
+        if not self.writer:
+            return
+        self.writer.add_scalar("lr", lr, step)
+        for k, v in metrics.items():
+            self.writer.add_scalar(k, float(v), step)
+
+    def _log_images(self, images: Dict[str, Any], step: int):
+        if not self.writer:
+            return
+        real = np.asarray(images["real_patch"][0])
+        fine_full = np.asarray(images["rgb_fine_full"][0])
+        fine_side = np.asarray(images["rgb_fine_side"][0])
+        depth_side = visualize_depth(np.asarray(images["depth_fine_side"][0]))
+        stack = np.stack([real, fine_full, fine_side, depth_side])
+        self.writer.add_images("train/images", np.clip(stack, 0, 1), step)
+
+    # ----------------------------------------------------------------- val
+    def validate(
+        self, epoch: int, max_batches: Optional[int] = None, log: bool = True
+    ) -> float:
+        hp = self.hparams
+        w, h = hp.img_wh
+        psnrs = []
+        n = self.val_dataset.val_len()
+        if max_batches is not None:
+            n = min(n, max_batches)
+        for i in range(n):
+            item = self.val_dataset.val_item(i)
+            results = render_chunked(
+                self.state.params,
+                jnp.asarray(item["rays"]),
+                self.render_settings,
+                tile=min(hp.chunk, item["rays"].shape[0] + (-item["rays"].shape[0]) % 1024),
+            )
+            if "rgbs" in item:
+                p = float(
+                    psnr_metric(results["rgb_fine"], jnp.asarray(item["rgbs"]))
+                )
+                psnrs.append(p)
+            if log and self.writer and i % 5 == 0 and "rgbs" in item:
+                img = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
+                gt = np.asarray(item["rgbs"]).reshape(h, w, 3)
+                depth = visualize_depth(
+                    np.asarray(results["depth_fine"]).reshape(h, w)
+                )
+                stack = np.stack(
+                    [gt.transpose(2, 0, 1), img.transpose(2, 0, 1), depth]
+                )
+                self.writer.add_images(
+                    "val/GT_pred_depth", np.clip(stack, 0, 1), int(self.state.step)
+                )
+        mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+        if log and self.writer:
+            self.writer.add_scalar("val/psnr", mean_psnr, epoch)
+        return mean_psnr

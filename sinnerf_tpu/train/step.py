@@ -1,0 +1,367 @@
+"""The SinNeRF training step as one pure, jittable function.
+
+Parity target: ``SinNeRF.training_step`` (``models/sinnerf.py:271-554``) with
+its 7 loss families, BUT restructured TPU-first:
+
+* The 4 ray bundles (random rays / ref patch / pseudo-view patch / projected
+  rays) are **concatenated and rendered in a single pass** — the reference
+  runs 4 chunked forwards, and under its dual-optimizer Lightning setup runs
+  all of them TWICE per batch (once per optimizer_idx).  Here G and D both
+  update from one render: the D loss sees ``stop_gradient`` renders, the G
+  adversarial term sees ``stop_gradient`` D params.  Same update semantics
+  (G and D each step once per batch), half the reference's FLOPs.
+* All randomness (sample jitter, sigma noise, DiffAugment coins, ViT-feature
+  refresh) derives from one step key.
+* Known reference bugs NOT reproduced (documented): the (N,)-vs-(N,1)
+  broadcast in the random-ray depth loss (``sinnerf.py:318``) is computed
+  elementwise here; masked/ViT losses average over the whole batch instead of
+  silently using item 0 (identical at the reference's batch_size=1).
+
+Loss schema and weighting mirror ``sinnerf.py:492-509``:
+  total = loss_g.tot + dis_weight*loss_d + depth_weight*loss_depth
+        + proj_weight*depth_weight*loss_side_depth + vit_weight*loss_vit
+        + depth_smooth_weight*loss_depth_smooth
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sinnerf_tpu.losses.depth import (
+    inverse_depth_smoothness_loss,
+    smooth_l1_masked,
+)
+from sinnerf_tpu.losses.gan import d_loss as gan_d_loss
+from sinnerf_tpu.losses.gan import g_loss as gan_g_loss
+from sinnerf_tpu.losses.photometric import loss_dict
+from sinnerf_tpu.models.discriminator import discriminator_apply
+from sinnerf_tpu.models.vit import vit_preprocess, vit_tokens
+from sinnerf_tpu.render.renderer import RenderSettings, render_rays
+from sinnerf_tpu.utils.metrics import psnr
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static per-run configuration (maps 1:1 onto opt.py flags)."""
+
+    render: RenderSettings
+    dataset_name: str = "blender_ray_patch_1image_rot3d"
+    loss_type: str = "mse"
+    patch_loss: str = "mse"
+    dloss: str = "hinge"  # opt.py:98
+    depth_weight: float = 0.05
+    vit_weight: float = 0.0
+    dis_weight: float = 0.0
+    proj_weight: float = 1.0
+    depth_smooth_weight: float = 0.0
+    depth_anneal: bool = False
+    load_depth: bool = True
+    imsize: int = 64  # discriminator branch selector (= patch_size)
+    policy: str = "color,cutout"
+    vit_refresh_prob: float = 0.05  # sinnerf.py:273
+
+    @property
+    def is_dtu(self) -> bool:
+        return self.dataset_name == "dtu_proj"
+
+    @property
+    def is_blender(self) -> bool:
+        return "blender" in self.dataset_name
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]  # {'coarse','fine'} NeRF pytrees
+    opt_g: Any
+    d_params: Optional[Dict[str, Any]]
+    sn_state: Optional[Dict[str, Any]]
+    opt_d: Optional[Any]
+    vit_params: Optional[Dict[str, Any]]  # frozen
+    ref_feature: Optional[jnp.ndarray]  # cached CLS feature (384,)
+    step: jnp.ndarray
+
+
+def _flat(x, c):
+    return x.reshape(-1, c)
+
+
+def _imgify(flat, b, c, p, q):
+    """(b*p*q, c) -> (b, c, p, q) like the reference's rearranges."""
+    return flat.reshape(b, p, q, c).transpose(0, 3, 1, 2)
+
+
+def _vit_cls_batch(vit_params, x):
+    """(B, 3, H, W) -> (B, 384) final-block CLS tokens."""
+    tokens = vit_tokens(vit_params, vit_preprocess(x))
+    return tokens[-1][:, 0, :]
+
+
+def compute_losses(
+    g_params: Dict[str, Any],
+    d_params,
+    sn_state,
+    vit_params,
+    ref_feature,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    epoch: jnp.ndarray,
+    cfg: TrainConfig,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Return (total scalar loss, aux dict with metrics/new sn state)."""
+    b, n_rand = batch["rays"].shape[:2]
+    psx, psy = batch["real_patch"].shape[-2:]
+    n_patch = psx * psy
+
+    keys = jax.random.split(key, 6)
+    loss_fn = loss_dict[cfg.loss_type]
+    patch_loss_fn = loss_dict[cfg.patch_loss]
+
+    # ---- single fused render over all 4 bundles ---------------------------
+    rays = _flat(batch["rays"], 8)
+    rays_full = _flat(batch["depth_ray"], 8)  # ref-view patch (sinnerf.py:282)
+    rays_side = _flat(batch["rays_full"], 8)  # pseudo-view patch (:285)
+    rays_proj = _flat(batch["rays_proj"], 8)
+    sizes = [rays.shape[0], rays_full.shape[0], rays_side.shape[0], rays_proj.shape[0]]
+    all_rays = jnp.concatenate([rays, rays_full, rays_side, rays_proj], axis=0)
+
+    rendered = render_rays(g_params, all_rays, keys[0], cfg.render)
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+
+    def split(i):
+        return {k: v[offs[i] : offs[i + 1]] for k, v in rendered.items()}
+
+    results, results_full, results_side, results_proj = (split(i) for i in range(4))
+
+    rgbs = _flat(batch["rgbs"], 3)
+    depth = _flat(batch["depth"], 1)[:, 0]
+    depth_proj = _flat(batch["depth_proj"], 1)[:, 0]
+    rgbs_full_img = _imgify(_flat(batch["depth_ray_rgb"], 3), b, 3, psx, psy)
+    real_patch = batch["real_patch"]  # (B, 3, psx, psy)
+
+    # ---- depth losses on random + projected rays (sinnerf.py:310-319) -----
+    loss_depth = (
+        smooth_l1_masked(results_proj["depth_fine"], depth_proj, use_mask=False)
+        + smooth_l1_masked(results_proj["depth_coarse"], depth_proj, use_mask=False)
+        + smooth_l1_masked(results["depth_fine"], depth, use_mask=False)
+        + smooth_l1_masked(results["depth_coarse"], depth, use_mask=False)
+    )
+
+    # ---- photometric losses ----------------------------------------------
+    loss_g = dict(loss_fn(results, rgbs))
+    full_imgs = {
+        "rgb_coarse": _imgify(results_full["rgb_coarse"], b, 3, psx, psy),
+        "rgb_fine": _imgify(results_full["rgb_fine"], b, 3, psx, psy),
+    }
+    side_imgs = {
+        "rgb_coarse": _imgify(results_side["rgb_coarse"], b, 3, psx, psy),
+        "rgb_fine": _imgify(results_side["rgb_fine"], b, 3, psx, psy),
+    }
+    rgb_loss = patch_loss_fn(full_imgs, rgbs_full_img)
+    for k, v in rgb_loss.items():
+        loss_g[k] = loss_g[k] + v if k in loss_g else v
+
+    # ---- ViT semantic loss on the pseudo view (sinnerf.py:332-338) --------
+    if cfg.vit_weight > 0:
+        # ref_ is recomputed on the first step and refreshed with prob 0.05
+        # thereafter (sinnerf.py:272-275); state stores it as zeros initially.
+        first = jnp.all(ref_feature == 0)
+        refresh = jax.random.bernoulli(keys[1], cfg.vit_refresh_prob) | first
+        fresh = jax.lax.stop_gradient(
+            jnp.mean(_vit_cls_batch(vit_params, real_patch), axis=0)
+        )
+        ref_feat = jnp.where(refresh, fresh, ref_feature)
+        sem_coarse = jnp.mean(_vit_cls_batch(vit_params, side_imgs["rgb_coarse"]), axis=0)
+        sem_fine = jnp.mean(_vit_cls_batch(vit_params, side_imgs["rgb_fine"]), axis=0)
+        loss_vit = jnp.mean((sem_coarse - ref_feat) ** 2) + jnp.mean(
+            (sem_fine - ref_feat) ** 2
+        )
+    else:
+        ref_feat = ref_feature
+        loss_vit = jnp.zeros(())
+
+    # ---- patch depth supervision (sinnerf.py:354-387) ---------------------
+    depth_gt_img = batch["depth_gt"].reshape(b, psx, psy)
+    full_depth_fine = results_full["depth_fine"].reshape(b, psx, psy)
+    full_depth_coarse = results_full["depth_coarse"].reshape(b, psx, psy)
+    if cfg.is_dtu:
+        loss_depth = loss_depth + smooth_l1_masked(
+            full_depth_fine.reshape(-1), depth_gt_img.reshape(-1)
+        )
+        loss_depth = loss_depth + smooth_l1_masked(
+            full_depth_coarse.reshape(-1), depth_gt_img.reshape(-1)
+        )
+    else:
+        dpatch = patch_loss_fn(
+            {
+                "rgb_fine": full_depth_fine[:, None],
+                "rgb_coarse": full_depth_coarse[:, None],
+            },
+            depth_gt_img[:, None],
+        )
+        loss_depth = loss_depth + dpatch["tot"]
+
+    loss_depth_smooth = inverse_depth_smoothness_loss(
+        full_depth_fine[:, None], full_imgs["rgb_fine"]
+    ) + inverse_depth_smoothness_loss(
+        full_depth_coarse[:, None], full_imgs["rgb_fine"]
+    )
+
+    if cfg.is_blender:
+        need_zero = depth_gt_img.reshape(-1, 1) == 0
+        loss_depth = loss_depth + 2.0 * smooth_l1_masked(
+            full_depth_coarse.reshape(-1, 1), depth_gt_img.reshape(-1, 1), mask=need_zero
+        )
+        loss_depth = loss_depth + 2.0 * smooth_l1_masked(
+            full_depth_fine.reshape(-1, 1), depth_gt_img.reshape(-1, 1), mask=need_zero
+        )
+
+    # ---- pseudo-view depth losses (sinnerf.py:389-406) --------------------
+    side_depth_fine = results_side["depth_fine"].reshape(b, psx, psy)
+    side_depth_coarse = results_side["depth_coarse"].reshape(b, psx, psy)
+    loss_depth_smooth = (
+        loss_depth_smooth
+        + inverse_depth_smoothness_loss(side_depth_coarse[:, None], side_imgs["rgb_fine"])
+        + inverse_depth_smoothness_loss(side_depth_fine[:, None], side_imgs["rgb_fine"])
+    )
+    warp_depth = batch["warp_patch_depth"].reshape(b, psx, psy)
+    depth_mask = warp_depth > 0
+    loss_side_depth = smooth_l1_masked(
+        side_depth_coarse, warp_depth, mask=depth_mask
+    ) + smooth_l1_masked(side_depth_fine, warp_depth, mask=depth_mask)
+
+    # ---- adversarial losses (sinnerf.py:445-487) --------------------------
+    new_sn = sn_state
+    if cfg.dis_weight > 0:
+        fake_img = side_imgs["rgb_fine"]
+        d_apply = partial(
+            discriminator_apply, policy=cfg.policy, imsize=cfg.imsize
+        )
+        # G term: frozen D params, SN state advanced by this call first
+        d_frozen = jax.lax.stop_gradient(d_params)
+        pred_fake_g, sn1 = d_apply(d_frozen, sn_state, fake_img, key=keys[2])
+        # D terms: live D params, detached renders
+        pred_real, sn2 = d_apply(d_params, sn1, real_patch, key=keys[3])
+        pred_fake_d, new_sn = d_apply(
+            d_params, sn2, jax.lax.stop_gradient(fake_img), key=keys[4]
+        )
+        loss_d_g = gan_g_loss(
+            pred_fake_g, cfg.dloss, pred_real=jax.lax.stop_gradient(pred_real)
+        )
+        loss_d_d = gan_d_loss(pred_real, pred_fake_d, cfg.dloss)
+        if cfg.dloss == "wgan_gp":
+            def d_sum(x):
+                out, _ = d_apply(d_params, sn_state, x[None], key=None, train=False)
+                return jnp.sum(out)
+
+            grads_x = jax.vmap(jax.grad(d_sum))(real_patch)
+            gp = jnp.mean(jnp.sum(grads_x.reshape(b, -1) ** 2, axis=1))
+            loss_d_d = loss_d_d + 10.0 * gp
+    else:
+        loss_d_g = jnp.zeros(())
+        loss_d_d = jnp.zeros(())
+
+    # ---- total (sinnerf.py:492-509) ---------------------------------------
+    if not cfg.load_depth:
+        raise NotImplementedError("reference requires --load_depth (sinnerf.py:502)")
+    if cfg.depth_anneal:
+        dw = jnp.maximum(
+            cfg.depth_weight - epoch / (500.0 / cfg.depth_weight), 1.0
+        )
+    else:
+        dw = cfg.depth_weight
+
+    total = (
+        loss_g["tot"]
+        + cfg.dis_weight * (loss_d_g + loss_d_d)
+        + dw * loss_depth
+        + cfg.proj_weight * cfg.depth_weight * loss_side_depth
+        + cfg.vit_weight * loss_vit
+        + cfg.depth_smooth_weight * loss_depth_smooth
+    )
+
+    psnr_ = psnr(results["rgb_fine"], rgbs)
+    aux = {
+        "metrics": {
+            "train/loss": total,
+            "train/loss_g": loss_g["tot"],
+            "train/loss_vit": loss_vit,
+            "train/loss_d": loss_d_d,
+            "train/loss_g_adv": loss_d_g,
+            "train/loss_depth": loss_depth,
+            "train/loss_depth_smooth": loss_depth_smooth,
+            "train/loss_side_depth": loss_side_depth,
+            "train/psnr": psnr_,
+            "train/depth_min": jnp.min(results_full["depth_fine"]),
+            "train/depth_max": jnp.max(results_full["depth_fine"]),
+        },
+        "sn_state": new_sn,
+        "ref_feature": ref_feat,
+        "images": {
+            "real_patch": real_patch,
+            "rgb_fine_full": full_imgs["rgb_fine"],
+            "rgb_fine_side": side_imgs["rgb_fine"],
+            "depth_fine_side": side_depth_fine,
+        },
+    }
+    return total, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "opt_g", "opt_d"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    epoch: jnp.ndarray,
+    cfg: TrainConfig,
+    opt_g: optax.GradientTransformation,
+    opt_d: Optional[optax.GradientTransformation] = None,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """One optimization step: renders once, updates G (and D when enabled)."""
+
+    def scalar_loss(g_params, d_params):
+        return compute_losses(
+            g_params,
+            d_params,
+            state.sn_state,
+            state.vit_params,
+            state.ref_feature,
+            batch,
+            key,
+            epoch,
+            cfg,
+        )
+
+    if cfg.dis_weight > 0:
+        (total, aux), (g_grads, d_grads) = jax.value_and_grad(
+            scalar_loss, argnums=(0, 1), has_aux=True
+        )(state.params, state.d_params)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g, state.params)
+        new_params = optax.apply_updates(state.params, g_updates)
+        d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+    else:
+        (total, aux), g_grads = jax.value_and_grad(scalar_loss, has_aux=True)(
+            state.params, state.d_params
+        )
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g, state.params)
+        new_params = optax.apply_updates(state.params, g_updates)
+        new_d_params, new_opt_d = state.d_params, state.opt_d
+
+    new_state = TrainState(
+        params=new_params,
+        opt_g=new_opt_g,
+        d_params=new_d_params,
+        sn_state=aux["sn_state"],
+        opt_d=new_opt_d,
+        vit_params=state.vit_params,
+        ref_feature=aux["ref_feature"],
+        step=state.step + 1,
+    )
+    return new_state, {"metrics": aux["metrics"], "images": aux["images"]}
