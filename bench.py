@@ -1,0 +1,112 @@
+"""Benchmark: coarse+fine ray-samples/sec/chip on the fused renderer.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.json north-star): >= 5M coarse+fine ray samples/sec/chip.
+A "ray sample" = one MLP evaluation along a ray (N_samples coarse + the
+N_samples+N_importance fine evals), the same unit the reference workload is
+counted in (SURVEY.md §3.4).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAY_SAMPLES_PER_SEC = 5e6
+
+N_RAYS = 65536
+N_SAMPLES = 64
+N_IMPORTANCE = 64  # eval-parity config (README.md:92 uses --N_importance 64)
+
+
+def make_rays(n):
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 2.0, np.float32)
+    far = np.full((n, 1), 6.0, np.float32)
+    return jnp.asarray(np.concatenate([o, d, near, far], axis=1))
+
+
+def bench_renderer(mlp_impl: str, compute_dtype: str, n_iters: int = 30):
+    """Chain n_iters renders on-device inside one jit (each iteration's rays
+    depend on the previous result so XLA cannot hoist the loop body), then
+    fetch a scalar.  Necessary because the axon tunnel's block_until_ready
+    does not synchronize and a host fetch costs ~30ms RTT."""
+    from sinnerf_tpu.models.nerf import init_nerf_params
+    from sinnerf_tpu.render.renderer import RenderSettings, render_rays
+
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0)),
+        "fine": init_nerf_params(jax.random.key(1)),
+    }
+    settings = RenderSettings(
+        n_samples=N_SAMPLES,
+        n_importance=N_IMPORTANCE,
+        perturb=0.0,
+        noise_std=0.0,
+        compute_dtype=compute_dtype,
+        mlp_impl=mlp_impl,
+    )
+    rays = make_rays(N_RAYS)
+
+    @jax.jit
+    def loop(params, rays, iters):
+        def body(i, carry):
+            acc, rays = carry
+            out = render_rays(params, rays, None, settings)
+            s = out["rgb_fine"].sum() + out["depth_fine"].sum()
+            # tiny data dependence between iterations to defeat hoisting/DCE
+            rays = rays.at[0, 6].add(s * 1e-30)
+            return acc + s, rays
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, rays))
+        return acc
+
+    float(loop(params, rays, 2))  # compile + warmup
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(params, rays, n_iters))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    # subtract the measured 2-iteration overhead? keep simple: per-iter time
+    dt = best / n_iters
+
+    samples_per_ray = N_SAMPLES + (N_SAMPLES + N_IMPORTANCE)
+    return N_RAYS * samples_per_ray / dt
+
+
+def main():
+    results = {}
+    for impl in ("xla", "pallas"):
+        for dtype in ("bfloat16",):
+            try:
+                rate = bench_renderer(impl, dtype)
+                results[f"{impl}/{dtype}"] = rate
+            except Exception as e:  # pallas path may not support all configs
+                results[f"{impl}/{dtype}"] = None
+
+    valid = {k: v for k, v in results.items() if v}
+    best_key = max(valid, key=valid.get)
+    best = valid[best_key]
+    print(
+        json.dumps(
+            {
+                "metric": f"coarse+fine ray samples/sec/chip ({best_key}, "
+                f"{N_RAYS} rays x {N_SAMPLES}+{N_SAMPLES + N_IMPORTANCE} samples)",
+                "value": round(best, 0),
+                "unit": "ray_samples/sec",
+                "vs_baseline": round(best / BASELINE_RAY_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

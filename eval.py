@@ -1,0 +1,169 @@
+"""Eval CLI — mirrors the reference ``eval.py``: load a coarse+fine NeRF
+checkpoint (ours or a PyTorch reference ckpt), render every pose of the chosen
+dataset split, write PNGs (+ optional depth as pfm/npy/png) and a GIF, and
+print the mean PSNR over poses with ground truth.
+
+The 512k-ray host chunk loop (``eval.py:84-115``) is replaced by a single
+jit-compiled ``render_chunked`` program that tiles on device.
+
+Example (reference README.md:92 works unchanged):
+
+    python eval.py --root_dir data/nerf_llff_data/room --dataset_name llff \
+        --scene_name llff_room_s4 --img_wh 504 378 --N_importance 64 \
+        --split val --ckpt_path ckpts/room.ckpt
+"""
+
+import os
+from argparse import ArgumentParser
+from collections import defaultdict
+
+import numpy as np
+
+
+def get_opts(args=None):
+    parser = ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True,
+                        help='root directory of dataset')
+    parser.add_argument('--dataset_name', type=str, default='blender_ray_patch_1image_rot3d',
+                        choices=['llff', 'blender_ray_patch_1image_rot3d', 'dtu_proj',
+                                 'llff_ray_patch_1image_proj', 'blender_ray_patch_1image_proj'],
+                        help='which dataset to validate')
+    parser.add_argument('--scene_name', type=str, default='test',
+                        help='scene name, used as output folder name')
+    parser.add_argument('--split', type=str, default='test',
+                        help='test or test_train or val')
+    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
+                        help='resolution (img_w, img_h) of the image')
+    parser.add_argument('--spheric_poses', default=False, action="store_true",
+                        help='whether images are taken in spheric poses (for llff)')
+
+    parser.add_argument('--angle', type=int, default=64)
+    parser.add_argument('--N_samples', type=int, default=64,
+                        help='number of coarse samples')
+    parser.add_argument('--N_importance', type=int, default=128,
+                        help='number of additional fine samples')
+    parser.add_argument('--use_disp', default=False, action="store_true",
+                        help='use disparity depth sampling')
+    parser.add_argument('--chunk', type=int, default=32*1024*4,
+                        help='on-device tile size for image rendering')
+
+    parser.add_argument('--timestamp', type=str, default="")
+    parser.add_argument('--ckpt_path', type=str, required=True,
+                        help='pretrained checkpoint path to load (orbax dir or torch .ckpt)')
+    parser.add_argument('--depth_type', type=str, default='nerf')
+    parser.add_argument('--save_depth', default=False, action="store_true")
+    parser.add_argument('--depth_format', type=str, default='pfm',
+                        choices=['pfm', 'bytes', 'npy', 'png'],
+                        help='which format to save')
+    parser.add_argument('--model', type=str, default="nerf",
+                        choices=['nerf', 'nerf_ft'])
+    parser.add_argument('--scan', type=int, default=4)
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'])
+    parser.add_argument('--mlp_impl', type=str, default='xla',
+                        choices=['xla', 'pallas'])
+    parser.add_argument('--ref_idx', type=int, default=None,
+                        help='override the blender reference-frame index')
+    return parser.parse_args(args)
+
+
+def load_params(ckpt_path: str):
+    """Accept an orbax checkpoint dir or a reference torch .ckpt file."""
+    import jax.numpy as jnp
+    import jax
+
+    from sinnerf_tpu.train.checkpoints import (
+        load_checkpoint,
+        load_torch_nerf_checkpoint,
+    )
+
+    if os.path.isdir(ckpt_path):
+        tree = load_checkpoint(ckpt_path)
+        params = tree.get("state", tree).get("params", tree.get("params", tree))
+        params = {k: params[k] for k in ("coarse", "fine") if k in params}
+    else:
+        params = load_torch_nerf_checkpoint(ckpt_path)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def main(args):
+    import imageio
+    import jax.numpy as jnp
+
+    from sinnerf_tpu.data import dataset_dict
+    from sinnerf_tpu.data.depth_io import save_pfm
+    from sinnerf_tpu.render.renderer import RenderSettings, render_chunked
+    from sinnerf_tpu.utils.metrics import psnr
+    from sinnerf_tpu.utils.visualization import visualize_depth
+
+    if args.timestamp == "":
+        parts = args.ckpt_path.split('/')
+        args.timestamp = parts[1] if len(parts) > 1 else 'ckpt'
+
+    w, h = args.img_wh
+    kwargs = dict(vars(args))
+    kwargs["img_wh"] = tuple(args.img_wh)
+    root = kwargs.pop("root_dir")
+    split = kwargs.pop("split")
+    dataset = dataset_dict[args.dataset_name](root, split=split, **kwargs)
+
+    params = load_params(args.ckpt_path)
+    settings = RenderSettings(
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        use_disp=args.use_disp,
+        perturb=0.0,
+        noise_std=0.0,
+        white_back=dataset.white_back,
+        compute_dtype=args.compute_dtype,
+        mlp_impl=args.mlp_impl,
+    )
+
+    dir_name = f'results/{args.dataset_name}/{args.scene_name}/{args.timestamp}'
+    os.makedirs(dir_name, exist_ok=True)
+
+    imgs, psnrs = [], []
+    for i in range(dataset.val_len()):
+        sample = dataset.val_item(i)
+        results = render_chunked(
+            params, jnp.asarray(sample["rays"]), settings, tile=args.chunk
+        )
+        img_pred = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
+        fname = f'{i:03d}'
+
+        if args.save_depth:
+            depth_pred = np.nan_to_num(
+                np.asarray(results["depth_fine"]).reshape(h, w)
+            )
+            if args.depth_format == 'pfm':
+                save_pfm(os.path.join(dir_name, f'depth_{fname}.pfm'), depth_pred)
+            elif args.depth_format == 'npy':
+                np.save(os.path.join(dir_name, f'{fname}.npy'), depth_pred)
+            else:
+                depth_img = (visualize_depth(depth_pred).transpose(1, 2, 0) * 255
+                             ).astype(np.uint8)
+                imageio.imwrite(
+                    os.path.join(dir_name, f'{fname}_depth.png'), depth_img
+                )
+
+        img_pred_ = (np.clip(img_pred, 0, 1) * 255).astype(np.uint8)
+        imgs.append(img_pred_)
+        imageio.imwrite(os.path.join(dir_name, f'{fname}.png'), img_pred_)
+
+        if "rgbs" in sample:
+            img_gt = np.asarray(sample["rgbs"]).reshape(h, w, 3)
+            psnrs.append(float(psnr(jnp.asarray(img_gt), jnp.asarray(img_pred))))
+
+    imageio.mimsave(
+        os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=5
+    )
+
+    if psnrs:
+        mean_psnr = float(np.mean(psnrs))
+        print(f'Mean PSNR : {mean_psnr:.2f}')
+        return mean_psnr
+    return None
+
+
+if __name__ == "__main__":
+    main(get_opts())

@@ -1,0 +1,68 @@
+"""SPMD data parallelism over a TPU mesh.
+
+Replaces the reference's pytorch-lightning DDP/NCCL backend (``train.py:51-52``;
+SURVEY.md §2 item 26): the reference's only parallelism is data parallelism —
+each rank runs the identical single-image dataset with different RNG and DDP
+all-reduces gradients.
+
+TPU-native design: a 1-D ``Mesh(('data',))`` over ICI.  The training batch's
+leading axis is sharded with ``NamedSharding(P('data'))`` and params/optimizer
+state are replicated; because every loss term is a mean over the batch-sharded
+axis, GSPMD inserts the gradient ``psum`` automatically inside the one jitted
+train step — there is no separate communication code to maintain.  For
+rendering, ``shard_rays`` shards the ray axis instead (rays are embarrassingly
+parallel, SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        tree,
+    )
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
+    """Shard every batch leaf along its leading (batch) axis.
+
+    Requires batch_size % mesh size == 0 (mirror of DDP's per-rank split).
+    """
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_rays(rays: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard a (N_rays, 8) bundle over the mesh for distributed rendering.
+    Pads N_rays to a mesh multiple (callers slice outputs back)."""
+    import jax.numpy as jnp
+
+    n = rays.shape[0]
+    size = mesh.devices.size
+    pad = (-n) % size
+    if pad:
+        rays = jnp.pad(rays, ((0, pad), (0, 0)), constant_values=1.0)
+    return jax.device_put(rays, NamedSharding(mesh, P(axis, None))), n
