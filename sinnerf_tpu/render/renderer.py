@@ -88,9 +88,9 @@ def _query(
             model_params,
             xyz_pe,
             d_pe,
-            sigma_only=sigma_only,
-            use_new_activation=settings.use_new_activation,
-            compute_dtype=settings.compute_dtype,
+            sigma_only,
+            settings.use_new_activation,
+            settings.compute_dtype,
         )
     else:
         out = nerf_apply(

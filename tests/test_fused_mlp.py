@@ -1,0 +1,101 @@
+"""Fused Pallas MLP kernel vs the pure-jnp reference path (interpret mode on
+CPU; the same kernel compiles natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sinnerf_tpu.core.encoding import positional_encoding
+from sinnerf_tpu.models.nerf import init_nerf_params, nerf_apply
+from sinnerf_tpu.ops.fused_mlp import fused_nerf_mlp
+from sinnerf_tpu.render.renderer import RenderSettings, render_rays
+
+
+def _inputs(n=700, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    return (
+        positional_encoding(jnp.asarray(xyz), 10),
+        positional_encoding(jnp.asarray(dirs), 4),
+    )
+
+
+def test_fused_matches_reference_f32():
+    params = init_nerf_params(jax.random.key(0))
+    xyz_pe, dir_pe = _inputs()
+    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe))
+    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, True, "float32"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sigma_only():
+    params = init_nerf_params(jax.random.key(1))
+    xyz_pe, _ = _inputs(seed=1)
+    want = np.asarray(nerf_apply(params, xyz_pe, sigma_only=True))
+    got = np.asarray(fused_nerf_mlp(params, xyz_pe, None, True, True, "float32"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_old_activation():
+    params = init_nerf_params(jax.random.key(2))
+    xyz_pe, dir_pe = _inputs(seed=2)
+    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe, use_new_activation=False))
+    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, False, "float32"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bf16_close():
+    params = init_nerf_params(jax.random.key(3))
+    xyz_pe, dir_pe = _inputs(seed=3)
+    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe))
+    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, True, "bfloat16"))
+    assert np.abs(got - want).mean() < 0.05
+
+
+def test_fused_grad_matches_reference():
+    params = init_nerf_params(jax.random.key(4))
+    xyz_pe, dir_pe = _inputs(n=300, seed=4)
+
+    def loss_fused(p):
+        return jnp.mean(fused_nerf_mlp(p, xyz_pe, dir_pe, False, True, "float32") ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(nerf_apply(p, xyz_pe, dir_pe) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_renderer_pallas_impl_matches_xla():
+    params = {
+        "coarse": init_nerf_params(jax.random.key(5)),
+        "fine": init_nerf_params(jax.random.key(6)),
+    }
+    rng = np.random.default_rng(5)
+    n = 64
+    rays = np.concatenate(
+        [
+            rng.normal(size=(n, 3)).astype(np.float32),
+            rng.normal(size=(n, 3)).astype(np.float32),
+            np.full((n, 1), 2.0, np.float32),
+            np.full((n, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    s_xla = RenderSettings(n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0)
+    s_pal = RenderSettings(
+        n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0, mlp_impl="pallas"
+    )
+    a = render_rays(params, jnp.asarray(rays), None, s_xla)
+    b = render_rays(params, jnp.asarray(rays), None, s_pal)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
