@@ -10,9 +10,19 @@ counted in (SURVEY.md §3.4).
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: Mosaic/XLA compiles through the axon tunnel
+# take minutes; cache them next to the repo so repeat runs are seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

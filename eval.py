@@ -19,6 +19,10 @@ from collections import defaultdict
 
 import numpy as np
 
+from sinnerf_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def get_opts(args=None):
     parser = ArgumentParser()

@@ -220,6 +220,222 @@ def fused_nerf_mlp(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute-forward + full backprop, all in VMEM.
+# Weight grads accumulate across the sequential TPU grid into shared output
+# blocks (every grid step maps to block (0, 0); initialized at step 0).
+# ---------------------------------------------------------------------------
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, *refs, use_new_activation: bool):
+    (
+        w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
+        b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
+        # outputs: weight grads, bias grads, input grad
+        dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+        dwrgb, dwsig,
+        db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig,
+        dx_ref,
+    ) = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (
+            dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+            dwrgb, dwsig, db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd,
+            dbrgb, dbsig,
+        ):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    x = x_ref[:]
+    g = g_ref[:]  # (T, 4): cols 0:3 = d rgb, col 3 = d sigma
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def dot_nt(a, b):
+        """a @ b.T with f32 accumulation."""
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_tn(a, b):
+        """a.T @ b with f32 accumulation."""
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    act = jax.nn.relu
+    cd = x.dtype
+
+    # ---- recompute forward, keeping activations in registers/VMEM ---------
+    h1 = act(dot(x, w1[:]) + b1[:]).astype(cd)
+    h2 = act(dot(h1, w2[:]) + b2[:]).astype(cd)
+    h3 = act(dot(h2, w3[:]) + b3[:]).astype(cd)
+    h4 = act(dot(h3, w4[:]) + b4[:]).astype(cd)
+    h5 = act(dot(h4, w5h[:]) + dot(x, w5x[:]) + b5[:]).astype(cd)
+    h6 = act(dot(h5, w6[:]) + b6[:]).astype(cd)
+    h7 = act(dot(h6, w7[:]) + b7[:]).astype(cd)
+    h8 = act(dot(h7, w8[:]) + b8[:]).astype(cd)
+    f = (dot(h8, wfin[:]) + bfin[:]).astype(cd)
+    a_d = dot(f, wdh[:]) + dot(x, wdx[:]) + bd[:]
+    d = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
+    a_rgb = dot(d, wrgb[:]) + brgb[:]
+
+    # ---- output heads ------------------------------------------------------
+    # g_rgb lives in lanes 0:3 of a (T, 128) buffer (pad lanes carry zeros)
+    zeros_t128 = jnp.zeros((x.shape[0], HALF), jnp.float32)
+    g_rgb = zeros_t128.at[:, 0:3].set(g[:, 0:3])
+    if use_new_activation:
+        # widened_sigmoid'(a) = 0.25 * (1 + 2e-3) * (1 - tanh^2(a/2))
+        t = jnp.tanh(0.5 * a_rgb)
+        d_act = 0.25 * (1.0 + 2e-3) * (1.0 - t * t)
+    else:
+        s = _sigmoid(a_rgb)
+        d_act = s * (1.0 - s)
+    da_rgb = (g_rgb * d_act).astype(cd)
+
+    dwrgb[:] += dot_tn(d, da_rgb)
+    dbrgb[:] += jnp.sum(da_rgb, axis=0, keepdims=True)
+    dd = dot_nt(da_rgb, wrgb[:])
+
+    # shifted_softplus'(a) = sigmoid(a - 1)
+    dssp = _sigmoid(a_d - 1.0) if use_new_activation else (a_d > 0)
+    da_d = (dd * dssp).astype(cd)
+    dwdh[:] += dot_tn(f, da_d)
+    dwdx[:] += dot_tn(x, da_d)
+    dbd[:] += jnp.sum(da_d, axis=0, keepdims=True)
+    df = dot_nt(da_d, wdh[:]).astype(cd)
+
+    dwfin[:] += dot_tn(h8, df)
+    dbfin[:] += jnp.sum(df, axis=0, keepdims=True)
+    dh8 = dot_nt(df, wfin[:])
+
+    # sigma head: grads arrive in lane 0 of a (T, 128) buffer
+    g_sig = zeros_t128.at[:, 0:1].set(g[:, 3:4]).astype(cd)
+    dwsig[:] += dot_tn(h8, g_sig)
+    dbsig[:] += jnp.sum(g_sig, axis=0, keepdims=True)
+    dh8 = (dh8 + dot_nt(g_sig, wsig[:])).astype(cd)
+
+    # ---- trunk backprop ----------------------------------------------------
+    da8 = (dh8 * (h8 > 0)).astype(cd)
+    dw8[:] += dot_tn(h7, da8)
+    db8[:] += jnp.sum(da8, axis=0, keepdims=True)
+    da7 = (dot_nt(da8, w8[:]) * (h7 > 0)).astype(cd)
+    dw7[:] += dot_tn(h6, da7)
+    db7[:] += jnp.sum(da7, axis=0, keepdims=True)
+    da6 = (dot_nt(da7, w7[:]) * (h6 > 0)).astype(cd)
+    dw6[:] += dot_tn(h5, da6)
+    db6[:] += jnp.sum(da6, axis=0, keepdims=True)
+    da5 = (dot_nt(da6, w6[:]) * (h5 > 0)).astype(cd)
+    dw5h[:] += dot_tn(h4, da5)
+    dw5x[:] += dot_tn(x, da5)
+    db5[:] += jnp.sum(da5, axis=0, keepdims=True)
+    da4 = (dot_nt(da5, w5h[:]) * (h4 > 0)).astype(cd)
+    dw4[:] += dot_tn(h3, da4)
+    db4[:] += jnp.sum(da4, axis=0, keepdims=True)
+    da3 = (dot_nt(da4, w4[:]) * (h3 > 0)).astype(cd)
+    dw3[:] += dot_tn(h2, da3)
+    db3[:] += jnp.sum(da3, axis=0, keepdims=True)
+    da2 = (dot_nt(da3, w3[:]) * (h2 > 0)).astype(cd)
+    dw2[:] += dot_tn(h1, da2)
+    db2[:] += jnp.sum(da2, axis=0, keepdims=True)
+    da1 = (dot_nt(da2, w2[:]) * (h1 > 0)).astype(cd)
+    dw1[:] += dot_tn(x, da1)
+    db1[:] += jnp.sum(da1, axis=0, keepdims=True)
+
+    # ---- input grad (packed 128 lanes: xyz PE + dir PE) -------------------
+    dx = dot_nt(da1, w1[:]) + dot_nt(da5, w5x[:]) + dot_nt(da_d, wdx[:])
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _fused_backward(
+    packed_x: jnp.ndarray,
+    packed_g: jnp.ndarray,
+    operands: Tuple[jnp.ndarray, ...],
+    use_new_activation: bool,
+):
+    """packed_x: (N, 128); packed_g: (N, 4) [d_rgb | d_sigma].
+    Returns (weight grads tuple (f32), bias grads tuple (f32), dx (N, 128))."""
+    n = packed_x.shape[0]
+    grid = (n // TILE,)
+
+    in_specs = [
+        pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for op in operands:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    # grad outputs share block (0, 0) across the sequential grid (accumulate)
+    w_shapes = [op.shape for op in operands[:14]]
+    b_shapes = [op.shape for op in operands[14:]]
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in b_shapes]
+        + [jax.ShapeDtypeStruct((n, IN_PAD), jnp.float32)]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for s in w_shapes + b_shapes
+        ]
+        + [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    )
+
+    kernel = functools.partial(_mlp_bwd_kernel, use_new_activation=use_new_activation)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(packed_x, packed_g, *operands)
+    return outs[:14], outs[14:26], outs[26]
+
+
+def _unpack_param_grads(dws, dbs, dx, n, sigma_only):
+    """Map the kernel's padded grad operands back onto the param pytree and
+    split dx into (dxyz_pe, ddir_pe)."""
+    (
+        dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+        dwrgb, dwsig,
+    ) = dws
+    (db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig) = dbs
+
+    params_grad = {
+        "xyz_encoding_1": {"w": dw1[:XYZ_CH], "b": db1[0]},
+        "xyz_encoding_2": {"w": dw2, "b": db2[0]},
+        "xyz_encoding_3": {"w": dw3, "b": db3[0]},
+        "xyz_encoding_4": {"w": dw4, "b": db4[0]},
+        "xyz_encoding_5": {
+            "w": jnp.concatenate([dw5x[:XYZ_CH], dw5h], axis=0),
+            "b": db5[0],
+        },
+        "xyz_encoding_6": {"w": dw6, "b": db6[0]},
+        "xyz_encoding_7": {"w": dw7, "b": db7[0]},
+        "xyz_encoding_8": {"w": dw8, "b": db8[0]},
+        "xyz_encoding_final": {"w": dwfin, "b": dbfin[0]},
+        "dir_encoding": {
+            "w": jnp.concatenate(
+                [dwdh, dwdx[XYZ_CH : XYZ_CH + DIR_CH]], axis=0
+            ),
+            "b": dbd[0],
+        },
+        "rgb": {"w": dwrgb[:, 0:3], "b": dbrgb[0, 0:3]},
+        "sigma": {"w": dwsig[:, 0:1], "b": dbsig[0, 0:1]},
+    }
+    dxyz = dx[:n, :XYZ_CH]
+    ddir = None if sigma_only else dx[:n, XYZ_CH : XYZ_CH + DIR_CH]
+    return params_grad, dxyz, ddir
+
+
 def _reference_apply(params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype):
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     return nerf_apply(
@@ -240,28 +456,33 @@ def _fwd(params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype):
 
 
 def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
+    """Pallas recompute-backward: forward activations are rebuilt in VMEM and
+    the full backprop (weight, bias, and input grads) runs in one kernel with
+    grid-accumulated weight-grad blocks."""
     params, xyz_pe, dir_pe = residuals
-    # Backward falls back to the XLA path's VJP (recompute-forward); the
-    # Pallas backward kernel is future work.
-    if dir_pe is None:
-        _, vjp = jax.vjp(
-            lambda p, x: _reference_apply(
-                p, x, None, sigma_only, use_new_activation, compute_dtype
-            ),
-            params,
-            xyz_pe,
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    n = xyz_pe.shape[0]
+    n_pad = (-n) % TILE
+    x = pack_inputs(xyz_pe, dir_pe, dtype)
+    if sigma_only:
+        packed_g = jnp.concatenate(
+            [jnp.zeros((n, 3), jnp.float32), g.astype(jnp.float32)], axis=-1
         )
-        dp, dx = vjp(g)
-        return dp, dx, None
-    _, vjp = jax.vjp(
-        lambda p, x, d: _reference_apply(
-            p, x, d, sigma_only, use_new_activation, compute_dtype
-        ),
-        params,
-        xyz_pe,
-        dir_pe,
+    else:
+        packed_g = g.astype(jnp.float32)
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0)))
+        packed_g = jnp.pad(packed_g, ((0, n_pad), (0, 0)))
+    operands = pack_weights(params, dtype)
+    dws, dbs, dx = _fused_backward(x, packed_g, operands, use_new_activation)
+    params_grad, dxyz, ddir = _unpack_param_grads(dws, dbs, dx, n, sigma_only)
+    # cast grads to the param dtypes
+    params_grad = jax.tree_util.tree_map(
+        lambda gv, pv: gv.astype(pv.dtype), params_grad, params
     )
-    return vjp(g)
+    if dir_pe is None:
+        return params_grad, dxyz.astype(xyz_pe.dtype), None
+    return params_grad, dxyz.astype(xyz_pe.dtype), ddir.astype(dir_pe.dtype)
 
 
 fused_nerf_mlp.defvjp(_fwd, _bwd)

@@ -99,3 +99,39 @@ def test_renderer_pallas_impl_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), rtol=1e-4, atol=1e-5, err_msg=k
         )
+
+
+def test_fused_input_grads_match_reference():
+    """The backward kernel also produces input grads (xyz/dir PE)."""
+    params = init_nerf_params(jax.random.key(7))
+    xyz_pe, dir_pe = _inputs(n=200, seed=7)
+
+    def loss_fused(x, d):
+        return jnp.mean(fused_nerf_mlp(params, x, d, False, True, "float32") ** 2)
+
+    def loss_ref(x, d):
+        return jnp.mean(nerf_apply(params, x, d) ** 2)
+
+    gx1, gd1 = jax.grad(loss_fused, argnums=(0, 1))(xyz_pe, dir_pe)
+    gx2, gd2 = jax.grad(loss_ref, argnums=(0, 1))(xyz_pe, dir_pe)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_sigma_only_grads():
+    params = init_nerf_params(jax.random.key(8))
+    xyz_pe, _ = _inputs(n=200, seed=8)
+
+    def loss_fused(p):
+        return jnp.mean(fused_nerf_mlp(p, xyz_pe, None, True, True, "float32") ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(nerf_apply(p, xyz_pe, sigma_only=True) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )

@@ -13,6 +13,10 @@ Example (reference README.md:44-52, works unchanged):
 """
 
 from opt import get_opts
+from sinnerf_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from sinnerf_tpu.train import SinNeRFTrainer
 
 
