@@ -1,0 +1,138 @@
+"""CLI-level tests: flag parsing, eval pipeline end-to-end on synthetic data,
+torch checkpoint interop, weight stripping."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import eval as eval_cli
+from opt import get_opts
+from sinnerf_tpu.data.synthetic import make_llff_scene
+from sinnerf_tpu.models.nerf import export_torch_state, init_nerf_params
+from sinnerf_tpu.train.checkpoints import (
+    load_torch_nerf_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_get_opts_reference_recipe():
+    """The reference README Step-1 lego command parses unchanged."""
+    argv = (
+        "--dataset_name blender_ray_patch_1image_rot3d --root_dir /tmp/lego "
+        "--N_importance 64 --img_wh 400 400 --num_epochs 2000 --batch_size 1 "
+        "--optimizer adam --lr 2e-4 --lr_scheduler steplr --decay_step 500 1000 "
+        "--decay_gamma 0.5 --exp_name lego_s4 --with_ref --patch_size 64 "
+        "--sW 6 --sH 6 --proj_weight 1 --depth_smooth_weight 0.5 "
+        "--dis_weight 0 --num_gpus 4 --load_depth --depth_type nerf "
+        "--model sinnerf --depth_weight 8 --vit_weight 10"
+    ).split()
+    hp = get_opts(argv)
+    assert hp.dataset_name == "blender_ray_patch_1image_rot3d"
+    assert hp.decay_step == [500, 1000]
+    assert hp.patch_size == 64 and hp.sW == 6
+    assert hp.vit_weight == 10 and hp.depth_weight == 8
+    assert hp.load_depth and hp.with_ref
+
+
+def test_eval_cli_on_synthetic_llff(tmp_path, monkeypatch):
+    root = make_llff_scene(str(tmp_path / "llff"), (32, 24))
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0)),
+        "fine": init_nerf_params(jax.random.key(1)),
+    }
+    ckpt = save_checkpoint(str(tmp_path), "weights", {"params": params})
+
+    monkeypatch.chdir(tmp_path)
+    args = eval_cli.get_opts(
+        [
+            "--root_dir", root,
+            "--dataset_name", "llff",
+            "--scene_name", "synth",
+            "--split", "val",
+            "--img_wh", "32", "24",
+            "--N_samples", "8",
+            "--N_importance", "8",
+            "--chunk", "1024",
+            "--ckpt_path", ckpt,
+        ]
+    )
+    mean_psnr = eval_cli.main(args)
+    assert mean_psnr is not None and np.isfinite(mean_psnr)
+    out_dir = tmp_path / "results" / "llff" / "synth"
+    pngs = list(out_dir.rglob("*.png"))
+    gifs = list(out_dir.rglob("*.gif"))
+    assert pngs and gifs
+
+
+def test_eval_cli_save_depth(tmp_path, monkeypatch):
+    root = make_llff_scene(str(tmp_path / "llff"), (32, 24))
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0)),
+        "fine": init_nerf_params(jax.random.key(1)),
+    }
+    ckpt = save_checkpoint(str(tmp_path), "weights", {"params": params})
+    monkeypatch.chdir(tmp_path)
+    args = eval_cli.get_opts(
+        [
+            "--root_dir", root, "--dataset_name", "llff", "--scene_name", "sd",
+            "--split", "val", "--img_wh", "32", "24", "--N_samples", "4",
+            "--N_importance", "4", "--chunk", "1024", "--ckpt_path", ckpt,
+            "--save_depth", "--depth_format", "pfm",
+        ]
+    )
+    eval_cli.main(args)
+    pfms = list((tmp_path / "results").rglob("*.pfm"))
+    assert pfms
+
+
+def test_torch_lightning_ckpt_import(tmp_path):
+    """A reference-style Lightning checkpoint (nerf_coarse./nerf_fine.
+    prefixes inside state_dict) loads into our param pytrees."""
+    import torch
+
+    coarse = init_nerf_params(jax.random.key(3))
+    fine = init_nerf_params(jax.random.key(4))
+    state = {}
+    for prefix, params in (("nerf_coarse.", coarse), ("nerf_fine.", fine)):
+        for k, v in export_torch_state(params, model_prefix=prefix).items():
+            state[k] = torch.from_numpy(np.ascontiguousarray(v))
+    blob = {"state_dict": state, "epoch": 7}
+    path = str(tmp_path / "ref.ckpt")
+    torch.save(blob, path)
+
+    loaded = load_torch_nerf_checkpoint(path)
+    assert set(loaded) == {"coarse", "fine"}
+    np.testing.assert_allclose(
+        np.asarray(loaded["coarse"]["sigma"]["w"]),
+        np.asarray(coarse["sigma"]["w"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["fine"]["xyz_encoding_5"]["w"]),
+        np.asarray(fine["xyz_encoding_5"]["w"]),
+        rtol=1e-6,
+    )
+
+
+def test_save_weights_only(tmp_path):
+    from sinnerf_tpu.train.checkpoints import load_checkpoint
+    from sinnerf_tpu.utils.save_weights_only import save_weights_only
+
+    params = {"coarse": init_nerf_params(jax.random.key(5))}
+    full = {
+        "state": {
+            "params": params,
+            "opt_g": {"big": np.zeros((10, 10))},
+            "d_params": None,
+        },
+        "epoch": 3,
+    }
+    ckpt = save_checkpoint(str(tmp_path), "full", full)
+    out = save_weights_only(ckpt, str(tmp_path / "weights_only"))
+    tree = load_checkpoint(out)
+    assert "params" in tree and "opt_g" not in tree.get("state", tree)
