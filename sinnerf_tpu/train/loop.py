@@ -126,6 +126,26 @@ class SinNeRFTrainer:
         if hparams.ckpt_path:  # full resume (train.py:46)
             self._resume(hparams.ckpt_path)
 
+        # ---- data-parallel mesh (replaces DDP, train.py:51-52) ------------
+        self.mesh = None
+        n_chips = getattr(hparams, "num_gpus", 1)
+        if n_chips > 1:
+            from sinnerf_tpu.parallel.mesh import make_mesh, replicate
+
+            if len(jax.devices()) >= n_chips:
+                self.mesh = make_mesh(n_chips)
+                self.state = TrainState(*replicate(list(self.state), self.mesh))
+                if hparams.batch_size % n_chips != 0:
+                    raise ValueError(
+                        f"batch_size {hparams.batch_size} must be divisible "
+                        f"by num_gpus {n_chips}"
+                    )
+            else:
+                print(
+                    f"[parallel] requested {n_chips} chips but only "
+                    f"{len(jax.devices())} present; running single-chip"
+                )
+
         # ---- logging / checkpoints ---------------------------------------
         self.ckpt_manager = TopKCheckpointManager(
             os.path.join(hparams.ckpt_dir, hparams.exp_name), top_k=2
@@ -202,6 +222,10 @@ class SinNeRFTrainer:
                 batch = self.train_dataset.sample(
                     k_batch, step=epoch * spe + i, batch_size=hp.batch_size
                 )
+                if self.mesh is not None:
+                    from sinnerf_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
                 self.state, out = train_step(
                     self.state,
                     batch,

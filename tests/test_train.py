@@ -205,3 +205,25 @@ def test_lr_schedule_cosine_poly_warmup():
     # epoch 0: lr/multiplier; ramps to lr at warmup end
     assert lr_for_epoch(hp3, 0) == pytest.approx(5e-4)
     assert lr_for_epoch(hp3, 10) == pytest.approx(1e-3)
+
+
+def test_trainer_data_parallel_mesh(blender_root, tmp_path):
+    """num_gpus=8 on the 8 virtual CPU devices: trainer replicates state,
+    shards batches, and the jitted step runs SPMD (GSPMD all-reduce)."""
+    hp = _hparams(blender_root, str(tmp_path), num_gpus=8, batch_size=8)
+    trainer = SinNeRFTrainer(hp)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    trainer.key, kb, ks = jax.random.split(trainer.key, 3)
+    batch = trainer.train_dataset.sample(kb, step=0, batch_size=8)
+    from sinnerf_tpu.parallel.mesh import shard_batch
+    from sinnerf_tpu.train.step import train_step
+
+    batch = shard_batch(batch, trainer.mesh)
+    trainer.state, out = train_step(
+        trainer.state, batch, ks, jnp.asarray(0.0),
+        trainer.cfg, trainer.opt_g, trainer.opt_d,
+    )
+    assert np.isfinite(float(out["metrics"]["train/loss"]))
+    # params stay replicated after the update
+    w = trainer.state.params["coarse"]["sigma"]["w"]
+    assert w.sharding.is_fully_replicated
