@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from sinnerf_tpu.core.composite import composite, compute_weights
 from sinnerf_tpu.core.encoding import positional_encoding
-from sinnerf_tpu.core.sampling import sample_pdf, stratified_z_vals
+from sinnerf_tpu.core.sampling import merge_sorted, sample_pdf, stratified_z_vals
 from sinnerf_tpu.models.nerf import Params, nerf_apply
 
 N_FREQS_XYZ = 10  # models/sinnerf.py:133
@@ -50,6 +50,11 @@ class RenderSettings:
     use_new_activation: bool = True
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mlp_impl: str = "xla"  # 'xla' | 'pallas'
+    # Fast merged resampling: stratified (sorted) importance samples + O(n)
+    # two-way merge instead of jnp.sort over the 192-wide concat (XLA's sort
+    # is the renderer's most expensive non-MLP op).  Exact reference
+    # semantics (iid uniforms + full sort) with fast_merge=False.
+    fast_merge: bool = True
 
     def eval_mode(self) -> "RenderSettings":
         """Deterministic settings for validation/eval (eval.py:95-107)."""
@@ -176,11 +181,18 @@ def render_rays(
             settings.n_importance,
             det=det,
             key=k_pdf,
+            sorted_u=settings.fast_merge,
         )
         # Grad must not flow into coarse weights through the resampling
         # (rendering.py:311-313).
         z_fine = jax.lax.stop_gradient(z_fine)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        if settings.fast_merge:
+            # both z arrays are per-row sorted -> O(n) stable merge
+            z_all = merge_sorted(z_vals, z_fine)
+        else:
+            z_all = jnp.sort(
+                jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1
+            )
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
 
         out = _query(params["fine"], xyz_fine, dir_embedded, settings, False)

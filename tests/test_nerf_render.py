@@ -239,3 +239,27 @@ def test_bfloat16_compute_close_to_f32():
     a = render_rays(params, jnp.asarray(rays), None, s32)
     b = render_rays(params, jnp.asarray(rays), None, sbf)
     assert np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"])).mean() < 0.03
+
+
+def test_fast_merge_equals_exact_sort_deterministic():
+    """With det sampling the fast-merge path must produce identical images to
+    the exact reference path (same z values, only the merge differs)."""
+    params = {"coarse": _make_params(20), "fine": _make_params(21)}
+    rng = np.random.default_rng(20)
+    rays = np.concatenate(
+        [
+            rng.normal(size=(32, 3)).astype(np.float32),
+            rng.normal(size=(32, 3)).astype(np.float32),
+            np.full((32, 1), 2.0, np.float32),
+            np.full((32, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    s_fast = RenderSettings(n_samples=16, n_importance=16, perturb=0.0, noise_std=0.0)
+    s_exact = dataclasses.replace(s_fast, fast_merge=False)
+    a = render_rays(params, jnp.asarray(rays), None, s_fast)
+    b = render_rays(params, jnp.asarray(rays), None, s_exact)
+    for k in ("rgb_fine", "depth_fine"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
