@@ -138,14 +138,23 @@ def sample_pdf(
         if sorted_u:
             u = (jnp.arange(n_importance, dtype=bins.dtype) + u) / n_importance
 
-    inds = searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, m)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather-free formulation: per-element lane gathers (take_along_axis) cost
+    # ~23 ms each at 16k rays on TPU.  Because cdf AND bins are per-row
+    # monotonic, the reference's below/above gathers are exactly masked
+    # extrema:  x[below] = max{x[j] : cdf[j] <= u}  (cdf[0]=0 <= u always),
+    #           x[above] = min{x[j] : cdf[j] >  u}  (empty -> x[m], matching
+    # the clamp of inds to m).  Pure VPU compare/select/reduce — no gathers.
+    le = cdf[..., None, :] <= u[..., :, None]  # (N, K, M+1)
+    ninf = jnp.array(-jnp.inf, bins.dtype)
+    pinf = jnp.array(jnp.inf, bins.dtype)
+    cdf_b = jnp.broadcast_to(cdf[..., None, :], le.shape)
+    bins_b = jnp.broadcast_to(bins[..., None, :], le.shape)
+    cdf_lo = jnp.max(jnp.where(le, cdf_b, ninf), axis=-1)
+    bins_lo = jnp.max(jnp.where(le, bins_b, ninf), axis=-1)
+    cdf_hi = jnp.min(jnp.where(le, pinf, cdf_b), axis=-1)
+    bins_hi = jnp.min(jnp.where(le, pinf, bins_b), axis=-1)
+    cdf_hi = jnp.where(jnp.isinf(cdf_hi), cdf[..., -1:], cdf_hi)
+    bins_hi = jnp.where(jnp.isinf(bins_hi), bins[..., -1:], bins_hi)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)

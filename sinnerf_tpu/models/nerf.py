@@ -87,6 +87,41 @@ def _dense(
     return y + b
 
 
+def permute_params_for_blocked_pe(
+    params: Params,
+    in_channels_xyz: int = IN_XYZ,
+    in_channels_dir: int = IN_DIR,
+    skips: Tuple[int, ...] = (4,),
+) -> Params:
+    """Return a params view whose PE-consuming weight rows are permuted for
+    the lane-friendly blocked PE layout (see
+    ``core.encoding.positional_encoding_blocked``).  Three small gathers; the
+    rest of the pytree is shared."""
+    from sinnerf_tpu.core.encoding import blocked_perm
+
+    px = blocked_perm(3, (in_channels_xyz // 3 - 1) // 2)
+    pd = blocked_perm(3, (in_channels_dir // 3 - 1) // 2)
+    out = dict(params)
+    out["xyz_encoding_1"] = {
+        "w": params["xyz_encoding_1"]["w"][px],
+        "b": params["xyz_encoding_1"]["b"],
+    }
+    for i in skips:
+        key = f"xyz_encoding_{i + 1}"
+        w = params[key]["w"]
+        out[key] = {
+            "w": jnp.concatenate([w[:in_channels_xyz][px], w[in_channels_xyz:]]),
+            "b": params[key]["b"],
+        }
+    wd = params["dir_encoding"]["w"]
+    width = wd.shape[0] - in_channels_dir
+    out["dir_encoding"] = {
+        "w": jnp.concatenate([wd[:width], wd[width:][pd]]),
+        "b": params["dir_encoding"]["b"],
+    }
+    return out
+
+
 def nerf_apply(
     params: Params,
     xyz_embedded: jnp.ndarray,
@@ -95,12 +130,17 @@ def nerf_apply(
     use_new_activation: bool = True,
     skips: Tuple[int, ...] = (4,),
     compute_dtype: Optional[Any] = None,
+    pe_layout: str = "reference",
 ) -> jnp.ndarray:
     """Forward pass.  Matches ``models/nerf.py:105-148``.
 
     xyz_embedded: (..., 63); dir_embedded: (..., 27) unless ``sigma_only``.
     Returns (..., 1) sigma if ``sigma_only`` else (..., 4) ``[rgb, sigma]``.
+    ``pe_layout='blocked'`` expects inputs from
+    ``positional_encoding_blocked`` (weight rows are permuted to match).
     """
+    if pe_layout == "blocked":
+        params = permute_params_for_blocked_pe(params, skips=skips)
     depth = sum(1 for k in params if k.startswith("xyz_encoding_") and k[13:].isdigit())
     x = xyz_embedded
     for i in range(depth):

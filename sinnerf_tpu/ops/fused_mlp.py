@@ -36,22 +36,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sinnerf_tpu.core.activations import shifted_softplus, widened_sigmoid
-from sinnerf_tpu.models.nerf import nerf_apply
+from sinnerf_tpu.models.nerf import nerf_apply, permute_params_for_blocked_pe
 
 IN_PAD = 128  # packed input width (63 xyz PE + 27 dir PE + zeros)
 XYZ_CH = 63
 DIR_CH = 27
 WIDTH = 256
 HALF = 128
-TILE = 512  # points per grid step
+TILE = 2048  # forward points per grid step (amortizes per-step overhead)
+TILE_BWD = 1024  # backward tile: 8 recompute activations must fit in VMEM
 
 
 def _pad_rows(w: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
 
 
-def pack_weights(params: Dict[str, Any], dtype) -> Tuple[jnp.ndarray, ...]:
-    """Flatten the NeRF param pytree into the kernel's padded operand list."""
+def pack_weights(
+    params: Dict[str, Any], dtype, pe_layout: str = "reference"
+) -> Tuple[jnp.ndarray, ...]:
+    """Flatten the NeRF param pytree into the kernel's padded operand list.
+    ``pe_layout='blocked'`` permutes the PE-consuming weight rows to match
+    ``positional_encoding_blocked`` inputs."""
+    if pe_layout == "blocked":
+        params = permute_params_for_blocked_pe(params)
+
     def cvt(x):
         return x.astype(dtype)
 
@@ -192,7 +200,7 @@ def pack_inputs(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
 )
 def fused_nerf_mlp(
     params: Dict[str, Any],
@@ -201,11 +209,13 @@ def fused_nerf_mlp(
     sigma_only: bool = False,
     use_new_activation: bool = True,
     compute_dtype: str = "float32",
+    pe_layout: str = "reference",
 ):
     """Pallas-fused equivalent of ``nerf_apply`` on pre-embedded inputs.
 
     xyz_pe: (N, 63); dir_pe: (N, 27) or None (sigma_only).
     Returns (N, 4) rgb+sigma, or (N, 1) sigma when sigma_only.
+    ``pe_layout='blocked'`` expects positional_encoding_blocked inputs.
     """
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     n = xyz_pe.shape[0]
@@ -213,7 +223,7 @@ def fused_nerf_mlp(
     x = pack_inputs(xyz_pe, dir_pe, dtype)
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
-    operands = pack_weights(params, dtype)
+    operands = pack_weights(params, dtype, pe_layout)
     out = _fused_forward(x, operands, use_new_activation)[:n]
     if sigma_only:
         return out[:, 3:4]
@@ -361,11 +371,11 @@ def _fused_backward(
     """packed_x: (N, 128); packed_g: (N, 4) [d_rgb | d_sigma].
     Returns (weight grads tuple (f32), bias grads tuple (f32), dx (N, 128))."""
     n = packed_x.shape[0]
-    grid = (n // TILE,)
+    grid = (n // TILE_BWD,)
 
     in_specs = [
-        pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_BWD, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_BWD, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     for op in operands:
         in_specs.append(
@@ -385,7 +395,7 @@ def _fused_backward(
             pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for s in w_shapes + b_shapes
         ]
-        + [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((TILE_BWD, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     )
 
     kernel = functools.partial(_mlp_bwd_kernel, use_new_activation=use_new_activation)
@@ -436,6 +446,34 @@ def _unpack_param_grads(dws, dbs, dx, n, sigma_only):
     return params_grad, dxyz, ddir
 
 
+def _unpermute_blocked_grads(params_grad):
+    """pack_weights permuted PE-consuming weight rows for the blocked layout;
+    map the accumulated grads back to reference row order
+    (dW_ref = dW_blocked[argsort(perm)])."""
+    import numpy as np
+
+    from sinnerf_tpu.core.encoding import blocked_perm
+
+    inv_x = np.argsort(blocked_perm(3, 10))
+    inv_d = np.argsort(blocked_perm(3, 4))
+    out = dict(params_grad)
+    out["xyz_encoding_1"] = {
+        "w": params_grad["xyz_encoding_1"]["w"][inv_x],
+        "b": params_grad["xyz_encoding_1"]["b"],
+    }
+    w5 = params_grad["xyz_encoding_5"]["w"]
+    out["xyz_encoding_5"] = {
+        "w": jnp.concatenate([w5[:XYZ_CH][inv_x], w5[XYZ_CH:]]),
+        "b": params_grad["xyz_encoding_5"]["b"],
+    }
+    wd = params_grad["dir_encoding"]["w"]
+    out["dir_encoding"] = {
+        "w": jnp.concatenate([wd[:WIDTH], wd[WIDTH:][inv_d]]),
+        "b": params_grad["dir_encoding"]["b"],
+    }
+    return out
+
+
 def _reference_apply(params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype):
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     return nerf_apply(
@@ -448,14 +486,15 @@ def _reference_apply(params, xyz_pe, dir_pe, sigma_only, use_new_activation, com
     )
 
 
-def _fwd(params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype):
+def _fwd(params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype, pe_layout):
     out = fused_nerf_mlp(
-        params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype
+        params, xyz_pe, dir_pe, sigma_only, use_new_activation, compute_dtype,
+        pe_layout,
     )
     return out, (params, xyz_pe, dir_pe)
 
 
-def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
+def _bwd(sigma_only, use_new_activation, compute_dtype, pe_layout, residuals, g):
     """Pallas recompute-backward: forward activations are rebuilt in VMEM and
     the full backprop (weight, bias, and input grads) runs in one kernel with
     grid-accumulated weight-grad blocks."""
@@ -473,9 +512,11 @@ def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
         packed_g = jnp.pad(packed_g, ((0, n_pad), (0, 0)))
-    operands = pack_weights(params, dtype)
+    operands = pack_weights(params, dtype, pe_layout)
     dws, dbs, dx = _fused_backward(x, packed_g, operands, use_new_activation)
     params_grad, dxyz, ddir = _unpack_param_grads(dws, dbs, dx, n, sigma_only)
+    if pe_layout == "blocked":
+        params_grad = _unpermute_blocked_grads(params_grad)
     # cast grads to the param dtypes
     params_grad = jax.tree_util.tree_map(
         lambda gv, pv: gv.astype(pv.dtype), params_grad, params

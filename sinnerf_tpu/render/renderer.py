@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from sinnerf_tpu.core.composite import composite, compute_weights
-from sinnerf_tpu.core.encoding import positional_encoding
+from sinnerf_tpu.core.encoding import (
+    positional_encoding,
+    positional_encoding_blocked,
+)
 from sinnerf_tpu.core.sampling import merge_sorted, sample_pdf, stratified_z_vals
 from sinnerf_tpu.models.nerf import Params, nerf_apply
 
@@ -78,7 +81,9 @@ def _query(
     Returns (N_rays, S, 4) rgb+sigma, or (N_rays, S) sigma if sigma_only.
     """
     n_rays, s, _ = xyz.shape
-    xyz_pe = positional_encoding(xyz.reshape(-1, 3), N_FREQS_XYZ)
+    # blocked (lane-friendly) PE layout throughout the hot path; the apply
+    # functions permute their first-layer weight rows to match
+    xyz_pe = positional_encoding_blocked(xyz.reshape(-1, 3), N_FREQS_XYZ)
     if sigma_only:
         d_pe = None
     else:
@@ -96,6 +101,7 @@ def _query(
             sigma_only,
             settings.use_new_activation,
             settings.compute_dtype,
+            "blocked",
         )
     else:
         out = nerf_apply(
@@ -105,6 +111,7 @@ def _query(
             sigma_only=sigma_only,
             use_new_activation=settings.use_new_activation,
             compute_dtype=settings.dtype,
+            pe_layout="blocked",
         )
     if sigma_only:
         return out.reshape(n_rays, s)
@@ -136,7 +143,7 @@ def render_rays(
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
 
-    dir_embedded = positional_encoding(rays_d, N_FREQS_DIR)  # (N, 27)
+    dir_embedded = positional_encoding_blocked(rays_d, N_FREQS_DIR)  # (N, 27)
 
     z_vals = stratified_z_vals(
         near,

@@ -135,3 +135,61 @@ def test_fused_sigma_only_grads():
             np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_blocked_pe_layout_matches_reference_layout():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked
+
+    params = init_nerf_params(jax.random.key(9))
+    rng = np.random.default_rng(9)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(300, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32))
+    ref = nerf_apply(
+        params, positional_encoding(xyz, 10), positional_encoding(dirs, 4)
+    )
+    blk = nerf_apply(
+        params,
+        positional_encoding_blocked(xyz, 10),
+        positional_encoding_blocked(dirs, 4),
+        pe_layout="blocked",
+    )
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    fused = fused_nerf_mlp(
+        params,
+        positional_encoding_blocked(xyz, 10),
+        positional_encoding_blocked(dirs, 4),
+        False, True, "float32", "blocked",
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_pe_grads_match_reference_layout():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked
+
+    params = init_nerf_params(jax.random.key(10))
+    rng = np.random.default_rng(10)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(200, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
+
+    def loss_ref(p):
+        return jnp.mean(
+            nerf_apply(p, positional_encoding(xyz, 10), positional_encoding(dirs, 4)) ** 2
+        )
+
+    def loss_blk(p):
+        return jnp.mean(
+            fused_nerf_mlp(
+                p,
+                positional_encoding_blocked(xyz, 10),
+                positional_encoding_blocked(dirs, 4),
+                False, True, "float32", "blocked",
+            ) ** 2
+        )
+
+    g1 = jax.grad(loss_ref)(params)
+    g2 = jax.grad(loss_blk)(params)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g2[k]["w"]), np.asarray(g1[k]["w"]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
