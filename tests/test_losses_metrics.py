@@ -173,3 +173,20 @@ def test_l2_ssim_loss_combination():
     out = l2_ssim_loss(res, jnp.asarray(img))
     np.testing.assert_allclose(float(out["tot"]), 0.0, atol=1e-5)
     assert "ssim" in out and "l2" in out
+
+
+def test_time_fn_harness():
+    """profiling.time_fn returns a sane positive per-iteration time."""
+    from sinnerf_tpu.utils.profiling import time_fn
+
+    x = jnp.ones((256, 256))
+    dt = time_fn(lambda a: a @ a, x, iters=5, repeats=2)
+    assert 0 < dt < 1.0
+
+
+def test_visualize_depth_shape():
+    from sinnerf_tpu.utils.visualization import visualize_depth
+
+    out = visualize_depth(np.random.default_rng(0).uniform(size=(8, 10)))
+    assert out.shape == (3, 8, 10)
+    assert out.min() >= 0 and out.max() <= 1
