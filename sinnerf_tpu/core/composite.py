@@ -74,3 +74,23 @@ def composite(
     if white_back:
         rgb = rgb + (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
     return CompositeOut(rgb=rgb, depth=depth, weights=weights)
+
+
+def composite_t(
+    rgbs_t: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    noise_std: float = 0.0,
+    key: Optional[jax.Array] = None,
+    white_back: bool = False,
+) -> CompositeOut:
+    """Channel-major compositing: rgbs_t (3, N_rays, S) instead of
+    (N_rays, S, 3) — avoids the 128-lane padding of a minor dim of 3 on TPU.
+    Same math as ``composite``; returns rgb back in (N_rays, 3)."""
+    weights = compute_weights(sigmas, z_vals, rays_d, noise_std, key)
+    rgb = jnp.sum(weights[None] * rgbs_t, axis=-1).T  # (N, 3)
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    if white_back:
+        rgb = rgb + (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+    return CompositeOut(rgb=rgb, depth=depth, weights=weights)

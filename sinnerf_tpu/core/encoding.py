@@ -63,6 +63,23 @@ def positional_encoding_blocked(
     return jnp.concatenate([x, jnp.sin(xb), jnp.cos(xb)], axis=-1)
 
 
+def positional_encoding_blocked_t(
+    x_t: jnp.ndarray, n_freqs: int, logscale: bool = True
+) -> jnp.ndarray:
+    """Channel-major blocked PE: (C, N) -> (C*(2F+1), N).
+
+    TPU pads an array's last dim to 128 lanes in HBM, so point-level (N, 3)
+    tensors are stored 42x inflated; the channel-major layout keeps N on the
+    lane axis and is compact.  Row order matches ``positional_encoding_blocked``
+    (identity block, then sin rows f-major, then cos rows), i.e. consumers use
+    the same ``blocked_perm`` weight permutation.
+    """
+    c = x_t.shape[0]
+    bands = freq_bands(n_freqs, logscale).astype(x_t.dtype)
+    xb = (bands[:, None, None] * x_t[None]).reshape(n_freqs * c, -1)
+    return jnp.concatenate([x_t, jnp.sin(xb), jnp.cos(xb)], axis=0)
+
+
 def blocked_perm(in_channels: int, n_freqs: int):
     """Row permutation p with ``W_blocked = W_reference[p]`` such that
     ``pe_blocked @ W_blocked == pe_reference @ W_reference``.

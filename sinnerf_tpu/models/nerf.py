@@ -162,6 +162,59 @@ def nerf_apply(
     return jnp.concatenate([rgb, sigma], axis=-1)
 
 
+def _dense_t(
+    x_t: jnp.ndarray, layer: Dict[str, jnp.ndarray], compute_dtype: Optional[Any]
+) -> jnp.ndarray:
+    """Channel-major dense: x_t (in, N) -> (out, N) via W^T x + b."""
+    w, b = layer["w"], layer["b"]
+    if compute_dtype is not None:
+        x_t = x_t.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.dot_general(
+        w, x_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return y + b[:, None]
+
+
+def nerf_apply_t(
+    params: Params,
+    xyz_pe_t: jnp.ndarray,
+    dir_pe_t: Optional[jnp.ndarray] = None,
+    sigma_only: bool = False,
+    use_new_activation: bool = True,
+    skips: Tuple[int, ...] = (4,),
+    compute_dtype: Optional[Any] = None,
+) -> jnp.ndarray:
+    """Channel-major forward: xyz_pe_t (63, N), dir_pe_t (27, N) in the
+    *blocked* PE layout -> (4, N) [rgb, sigma] (or (1, N) sigma).
+
+    Numerically identical to ``nerf_apply(..., pe_layout='blocked')``; the
+    transposed data layout keeps N on the TPU lane axis so no point-level
+    tensor pays the 128-lane padding of a minor dim (see
+    ``core.encoding.positional_encoding_blocked_t``).
+    """
+    params = permute_params_for_blocked_pe(params, skips=skips)
+    depth = sum(1 for k in params if k.startswith("xyz_encoding_") and k[13:].isdigit())
+    x = xyz_pe_t
+    for i in range(depth):
+        if i in skips:
+            x = jnp.concatenate([xyz_pe_t.astype(x.dtype), x], axis=0)
+        x = _dense_t(x, params[f"xyz_encoding_{i + 1}"], compute_dtype)
+        x = jax.nn.relu(x)
+
+    sigma = _dense_t(x, params["sigma"], compute_dtype)
+    if sigma_only:
+        return sigma
+
+    feat = _dense_t(x, params["xyz_encoding_final"], compute_dtype)
+    d = jnp.concatenate([feat, dir_pe_t.astype(feat.dtype)], axis=0)
+    d = _dense_t(d, params["dir_encoding"], compute_dtype)
+    d = shifted_softplus(d) if use_new_activation else jax.nn.relu(d)
+    rgb = _dense_t(d, params["rgb"], compute_dtype)
+    rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
+    return jnp.concatenate([rgb, sigma], axis=0)
+
+
 # --------------------------------------------------------------------------
 # PyTorch checkpoint interop (utils/__init__.py:60-83 semantics)
 # --------------------------------------------------------------------------

@@ -22,13 +22,13 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from sinnerf_tpu.core.composite import composite, compute_weights
+from sinnerf_tpu.core.composite import composite_t, compute_weights
 from sinnerf_tpu.core.encoding import (
     positional_encoding,
-    positional_encoding_blocked,
+    positional_encoding_blocked_t,
 )
 from sinnerf_tpu.core.sampling import merge_sorted, sample_pdf, stratified_z_vals
-from sinnerf_tpu.models.nerf import Params, nerf_apply
+from sinnerf_tpu.models.nerf import Params, nerf_apply, nerf_apply_t
 
 N_FREQS_XYZ = 10  # models/sinnerf.py:133
 N_FREQS_DIR = 4   # models/sinnerf.py:134
@@ -68,54 +68,61 @@ class RenderSettings:
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
 
-def _query(
+def _query_t(
     model_params: Params,
-    xyz: jnp.ndarray,
-    dir_embedded: Optional[jnp.ndarray],
+    rays_o_t: jnp.ndarray,
+    rays_d_t: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dir_pe_t: Optional[jnp.ndarray],
     settings: RenderSettings,
     sigma_only: bool,
 ) -> jnp.ndarray:
-    """Evaluate one NeRF on sampled points.
+    """Evaluate one NeRF on the sampled points of every ray, channel-major.
 
-    xyz: (N_rays, S, 3) world positions; dir_embedded: (N_rays, 27).
-    Returns (N_rays, S, 4) rgb+sigma, or (N_rays, S) sigma if sigma_only.
+    rays_o_t/rays_d_t: (3, N_rays); z_vals: (N_rays, S); dir_pe_t: (27, N_rays)
+    blocked-layout direction PE.  Returns (4, N_rays, S) rgb+sigma (or
+    (N_rays, S) sigma when sigma_only).
+
+    The whole pipeline keeps the point axis on TPU lanes: the world positions
+    are (3, N*S), the PE (63, N*S), activations (256, N*S) — no minor-dim-3
+    tensors, which HBM would pad 128/3x (measured: the row-major layout spent
+    more time on PE + layout than on the MLP itself).
     """
-    n_rays, s, _ = xyz.shape
-    # blocked (lane-friendly) PE layout throughout the hot path; the apply
-    # functions permute their first-layer weight rows to match
-    xyz_pe = positional_encoding_blocked(xyz.reshape(-1, 3), N_FREQS_XYZ)
+    n_rays, s = z_vals.shape
+    xyz_t = (
+        rays_o_t[:, :, None] + rays_d_t[:, :, None] * z_vals[None]
+    ).reshape(3, n_rays * s)
+    xyz_pe_t = positional_encoding_blocked_t(xyz_t, N_FREQS_XYZ)
     if sigma_only:
-        d_pe = None
+        d_pe_t = None
     else:
-        d_pe = jnp.broadcast_to(
-            dir_embedded[:, None, :], (n_rays, s, dir_embedded.shape[-1])
-        ).reshape(n_rays * s, -1)
+        d_pe_t = jnp.broadcast_to(
+            dir_pe_t[:, :, None], (dir_pe_t.shape[0], n_rays, s)
+        ).reshape(-1, n_rays * s)
 
     if settings.mlp_impl == "pallas":
-        from sinnerf_tpu.ops.fused_mlp import fused_nerf_mlp
+        from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
 
-        out = fused_nerf_mlp(
+        out = fused_nerf_mlp_t(
             model_params,
-            xyz_pe,
-            d_pe,
+            xyz_pe_t,
+            d_pe_t,
             sigma_only,
             settings.use_new_activation,
             settings.compute_dtype,
-            "blocked",
         )
     else:
-        out = nerf_apply(
+        out = nerf_apply_t(
             model_params,
-            xyz_pe,
-            d_pe,
+            xyz_pe_t,
+            d_pe_t,
             sigma_only=sigma_only,
             use_new_activation=settings.use_new_activation,
             compute_dtype=settings.dtype,
-            pe_layout="blocked",
         )
     if sigma_only:
         return out.reshape(n_rays, s)
-    return out.reshape(n_rays, s, 4)
+    return out.reshape(4, n_rays, s)
 
 
 def render_rays(
@@ -143,7 +150,11 @@ def render_rays(
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
 
-    dir_embedded = positional_encoding_blocked(rays_d, N_FREQS_DIR)  # (N, 27)
+    # channel-major views for the hot path (the (N, 8) ray bundle itself is
+    # small; the transposes here are negligible)
+    rays_o_t = rays_o.T  # (3, N)
+    rays_d_t = rays_d.T
+    dir_pe_t = positional_encoding_blocked_t(rays_d_t, N_FREQS_DIR)  # (27, N)
 
     z_vals = stratified_z_vals(
         near,
@@ -153,21 +164,24 @@ def render_rays(
         perturb=settings.perturb,
         key=k_perturb,
     )
-    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     result: Dict[str, jnp.ndarray] = {}
     if settings.test_time:
-        sigmas = _query(params["coarse"], xyz_coarse, None, settings, True)
+        sigmas = _query_t(
+            params["coarse"], rays_o_t, rays_d_t, z_vals, None, settings, True
+        )
         weights_coarse = compute_weights(sigmas, z_vals, rays_d)
         result["opacity_coarse"] = weights_coarse
     else:
         coarse_params = params["coarse"]
         if settings.detach_coarse:
             coarse_params = jax.lax.stop_gradient(coarse_params)
-        out = _query(coarse_params, xyz_coarse, dir_embedded, settings, False)
-        comp = composite(
-            out[..., :3],
-            out[..., 3],
+        out = _query_t(
+            coarse_params, rays_o_t, rays_d_t, z_vals, dir_pe_t, settings, False
+        )
+        comp = composite_t(
+            out[0:3],
+            out[3],
             z_vals,
             rays_d,
             noise_std=settings.noise_std,
@@ -200,12 +214,13 @@ def render_rays(
             z_all = jnp.sort(
                 jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1
             )
-        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
 
-        out = _query(params["fine"], xyz_fine, dir_embedded, settings, False)
-        comp = composite(
-            out[..., :3],
-            out[..., 3],
+        out = _query_t(
+            params["fine"], rays_o_t, rays_d_t, z_all, dir_pe_t, settings, False
+        )
+        comp = composite_t(
+            out[0:3],
+            out[3],
             z_all,
             rays_d,
             noise_std=settings.noise_std if not settings.test_time else 0.0,

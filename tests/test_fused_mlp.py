@@ -193,3 +193,96 @@ def test_blocked_pe_grads_match_reference_layout():
             np.asarray(g2[k]["w"]), np.asarray(g1[k]["w"]), rtol=1e-4, atol=1e-6,
             err_msg=k,
         )
+
+
+# ---------------------------------------------------------------- transposed
+def test_nerf_apply_t_matches_row_major():
+    from sinnerf_tpu.core.encoding import (
+        positional_encoding_blocked_t,
+    )
+    from sinnerf_tpu.models.nerf import nerf_apply_t
+
+    params = init_nerf_params(jax.random.key(11))
+    rng = np.random.default_rng(11)
+    xyz = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    dirs = rng.normal(size=(300, 3)).astype(np.float32)
+    ref = nerf_apply(
+        params,
+        positional_encoding(jnp.asarray(xyz), 10),
+        positional_encoding(jnp.asarray(dirs), 4),
+    )
+    got = nerf_apply_t(
+        params,
+        positional_encoding_blocked_t(jnp.asarray(xyz.T), 10),
+        positional_encoding_blocked_t(jnp.asarray(dirs.T), 4),
+    )
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_t_matches_reference():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
+    from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+    params = init_nerf_params(jax.random.key(12))
+    rng = np.random.default_rng(12)
+    xyz = rng.uniform(-1, 1, size=(700, 3)).astype(np.float32)
+    dirs = rng.normal(size=(700, 3)).astype(np.float32)
+    ref = nerf_apply(
+        params,
+        positional_encoding(jnp.asarray(xyz), 10),
+        positional_encoding(jnp.asarray(dirs), 4),
+    )
+    got = fused_nerf_mlp_t(
+        params,
+        positional_encoding_blocked_t(jnp.asarray(xyz.T), 10),
+        positional_encoding_blocked_t(jnp.asarray(dirs.T), 4),
+        False, True, "float32",
+    )
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # sigma-only path
+    sig_ref = nerf_apply(
+        params, positional_encoding(jnp.asarray(xyz), 10), sigma_only=True
+    )
+    sig = fused_nerf_mlp_t(
+        params,
+        positional_encoding_blocked_t(jnp.asarray(xyz.T), 10),
+        None, True, True, "float32",
+    )
+    np.testing.assert_allclose(np.asarray(sig).T, np.asarray(sig_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_t_grads_match():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
+    from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+    params = init_nerf_params(jax.random.key(13))
+    rng = np.random.default_rng(13)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(3, 200)).astype(np.float32))
+
+    def loss_t(p):
+        return jnp.mean(
+            fused_nerf_mlp_t(
+                p,
+                positional_encoding_blocked_t(xyz, 10),
+                positional_encoding_blocked_t(dirs, 4),
+                False, True, "float32",
+            ) ** 2
+        )
+
+    def loss_ref(p):
+        return jnp.mean(
+            nerf_apply(
+                p,
+                positional_encoding(xyz.T, 10),
+                positional_encoding(dirs.T, 4),
+            ) ** 2
+        )
+
+    g1 = jax.grad(loss_t)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
