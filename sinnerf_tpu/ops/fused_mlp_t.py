@@ -176,6 +176,226 @@ def _forward_t(
     )(x_t, d_t, *operands)
 
 
+# ---------------------------------------------------------------------------
+# Transposed backward kernel: recompute-forward + full backprop in VMEM,
+# weight grads accumulated across the sequential grid into shared blocks.
+# ---------------------------------------------------------------------------
+
+TILE_BWD_T = 1024
+
+
+def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
+    (
+        w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
+        b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
+        dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+        dwrgb, dwsig,
+        db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig,
+        dx_ref, dd_ref,
+    ) = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (
+            dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+            dwrgb, dwsig, db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd,
+            dbrgb, dbsig,
+        ):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    x = x_ref[:]      # (64, T)
+    d_in = d_ref[:]   # (32, T)
+    g = g_ref[:]      # (8, T): rows 0:3 d_rgb, row 3 d_sigma
+
+    def dot(a_ref, b_val):
+        return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
+
+    def dot_nt(a, b):
+        """a (o, T) @ b (i, T)^T -> (o, i); f32 accumulation."""
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_tn(w_ref, a):
+        """w (o, i)^T @ a (o, T) -> (i, T)."""
+        return jax.lax.dot_general(
+            w_ref[:], a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    act = jax.nn.relu
+    cd = x.dtype
+
+    # recompute forward
+    h1 = act(dot(w1, x) + b1[:]).astype(cd)
+    h2 = act(dot(w2, h1) + b2[:]).astype(cd)
+    h3 = act(dot(w3, h2) + b3[:]).astype(cd)
+    h4 = act(dot(w4, h3) + b4[:]).astype(cd)
+    h5 = act(dot(w5h, h4) + dot(w5x, x) + b5[:]).astype(cd)
+    h6 = act(dot(w6, h5) + b6[:]).astype(cd)
+    h7 = act(dot(w7, h6) + b7[:]).astype(cd)
+    h8 = act(dot(w8, h7) + b8[:]).astype(cd)
+    f = (dot(wfin, h8) + bfin[:]).astype(cd)
+    a_d = dot(wdh, f) + dot(wdx, d_in) + bd[:]
+    d_act = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
+    a_rgb = dot(wrgb, d_act) + brgb[:]  # (8, T)
+
+    # heads
+    zero8 = jnp.zeros_like(a_rgb)
+    g_rgb = zero8.at[0:3, :].set(g[0:3, :])
+    if use_new_activation:
+        t = jnp.tanh(0.5 * a_rgb)
+        dact_rgb = 0.25 * (1.0 + 2e-3) * (1.0 - t * t)
+    else:
+        s = jax.nn.sigmoid(a_rgb)
+        dact_rgb = s * (1.0 - s)
+    da_rgb = (g_rgb * dact_rgb).astype(cd)
+    dwrgb[:] += dot_nt(da_rgb, d_act)
+    dbrgb[:] += jnp.sum(da_rgb, axis=1, keepdims=True)
+    dd_act = dot_tn(wrgb, da_rgb)
+
+    dssp = (
+        jax.nn.sigmoid(a_d - 1.0) if use_new_activation else (a_d > 0)
+    )
+    da_d = (dd_act * dssp).astype(cd)
+    dwdh[:] += dot_nt(da_d, f)
+    dwdx[:] += dot_nt(da_d, d_in)
+    dbd[:] += jnp.sum(da_d, axis=1, keepdims=True)
+    df = dot_tn(wdh, da_d).astype(cd)
+
+    dwfin[:] += dot_nt(df, h8)
+    dbfin[:] += jnp.sum(df, axis=1, keepdims=True)
+    dh8 = dot_tn(wfin, df)
+
+    g_sig = zero8.at[0:1, :].set(g[3:4, :]).astype(cd)
+    dwsig[:] += dot_nt(g_sig, h8)
+    dbsig[:] += jnp.sum(g_sig, axis=1, keepdims=True)
+    dh8 = dh8 + dot_tn(wsig, g_sig)
+
+    # trunk
+    da8 = (dh8 * (h8 > 0)).astype(cd)
+    dw8[:] += dot_nt(da8, h7)
+    db8[:] += jnp.sum(da8, axis=1, keepdims=True)
+    da7 = (dot_tn(w8, da8) * (h7 > 0)).astype(cd)
+    dw7[:] += dot_nt(da7, h6)
+    db7[:] += jnp.sum(da7, axis=1, keepdims=True)
+    da6 = (dot_tn(w7, da7) * (h6 > 0)).astype(cd)
+    dw6[:] += dot_nt(da6, h5)
+    db6[:] += jnp.sum(da6, axis=1, keepdims=True)
+    da5 = (dot_tn(w6, da6) * (h5 > 0)).astype(cd)
+    dw5h[:] += dot_nt(da5, h4)
+    dw5x[:] += dot_nt(da5, x)
+    db5[:] += jnp.sum(da5, axis=1, keepdims=True)
+    da4 = (dot_tn(w5h, da5) * (h4 > 0)).astype(cd)
+    dw4[:] += dot_nt(da4, h3)
+    db4[:] += jnp.sum(da4, axis=1, keepdims=True)
+    da3 = (dot_tn(w4, da4) * (h3 > 0)).astype(cd)
+    dw3[:] += dot_nt(da3, h2)
+    db3[:] += jnp.sum(da3, axis=1, keepdims=True)
+    da2 = (dot_tn(w3, da3) * (h2 > 0)).astype(cd)
+    dw2[:] += dot_nt(da2, h1)
+    db2[:] += jnp.sum(da2, axis=1, keepdims=True)
+    da1 = (dot_tn(w2, da2) * (h1 > 0)).astype(cd)
+    dw1[:] += dot_nt(da1, x)
+    db1[:] += jnp.sum(da1, axis=1, keepdims=True)
+
+    dx = dot_tn(w1, da1) + dot_tn(w5x, da5)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dd_ref[:] = dot_tn(wdx, da_d).astype(dd_ref.dtype)
+
+
+def _backward_t(
+    x_t: jnp.ndarray,
+    d_t: jnp.ndarray,
+    g8: jnp.ndarray,
+    operands: Tuple[jnp.ndarray, ...],
+    use_new_activation: bool,
+):
+    n = x_t.shape[1]
+    grid = (n // TILE_BWD_T,)
+
+    in_specs = [
+        pl.BlockSpec((XYZ_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((DIR_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    for op in operands:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    w_shapes = [op.shape for op in operands[:14]]
+    b_shapes = [op.shape for op in operands[14:]]
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes + b_shapes]
+        + [
+            jax.ShapeDtypeStruct((XYZ_PAD, n), jnp.float32),
+            jax.ShapeDtypeStruct((DIR_PAD, n), jnp.float32),
+        ]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for s in w_shapes + b_shapes
+        ]
+        + [
+            pl.BlockSpec((XYZ_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DIR_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+    )
+
+    kernel = functools.partial(_bwd_kernel_t, use_new_activation=use_new_activation)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(x_t, d_t, g8, *operands)
+    return outs[:14], outs[14:26], outs[26], outs[27]
+
+
+def _unpack_grads_t(dws, dbs, params):
+    """Transposed padded grads -> reference-order param-pytree grads."""
+    import numpy as np
+
+    from sinnerf_tpu.core.encoding import blocked_perm
+
+    (
+        dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
+        dwrgb, dwsig,
+    ) = dws
+    (db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig) = dbs
+
+    inv_x = np.argsort(blocked_perm(3, 10))
+    inv_d = np.argsort(blocked_perm(3, 4))
+
+    grads = {
+        "xyz_encoding_1": {"w": dw1.T[:XYZ_CH][inv_x], "b": db1[:, 0]},
+        "xyz_encoding_2": {"w": dw2.T, "b": db2[:, 0]},
+        "xyz_encoding_3": {"w": dw3.T, "b": db3[:, 0]},
+        "xyz_encoding_4": {"w": dw4.T, "b": db4[:, 0]},
+        "xyz_encoding_5": {
+            "w": jnp.concatenate([dw5x.T[:XYZ_CH][inv_x], dw5h.T], axis=0),
+            "b": db5[:, 0],
+        },
+        "xyz_encoding_6": {"w": dw6.T, "b": db6[:, 0]},
+        "xyz_encoding_7": {"w": dw7.T, "b": db7[:, 0]},
+        "xyz_encoding_8": {"w": dw8.T, "b": db8[:, 0]},
+        "xyz_encoding_final": {"w": dwfin.T, "b": dbfin[:, 0]},
+        "dir_encoding": {
+            "w": jnp.concatenate([dwdh.T, dwdx.T[:DIR_CH][inv_d]], axis=0),
+            "b": dbd[:, 0],
+        },
+        "rgb": {"w": dwrgb.T[:, 0:3], "b": dbrgb[0:3, 0]},
+        "sigma": {"w": dwsig.T[:, 0:1], "b": dbsig[0:1, 0]},
+    }
+    return jax.tree_util.tree_map(
+        lambda gv, pv: gv.astype(pv.dtype), grads, params
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp_t(
     params: Dict[str, Any],
@@ -212,30 +432,32 @@ def _fwd(params, xyz_pe_t, dir_pe_t, sigma_only, use_new_activation, compute_dty
 
 
 def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
+    """Fused transposed backward: recompute + full backprop in one kernel."""
     params, xyz_pe_t, dir_pe_t = residuals
-    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    n = xyz_pe_t.shape[1]
+    n_pad = (-n) % TILE_BWD_T
 
+    x = jnp.pad(xyz_pe_t.astype(dtype), ((0, XYZ_PAD - XYZ_CH), (0, n_pad)))
     if dir_pe_t is None:
-        _, vjp = jax.vjp(
-            lambda p, x: nerf_apply_t(
-                p, x, None, sigma_only=sigma_only,
-                use_new_activation=use_new_activation, compute_dtype=dtype,
-            ),
-            params,
-            xyz_pe_t,
-        )
-        dp, dx = vjp(g)
-        return dp, dx, None
-    _, vjp = jax.vjp(
-        lambda p, x, d: nerf_apply_t(
-            p, x, d, sigma_only=sigma_only,
-            use_new_activation=use_new_activation, compute_dtype=dtype,
-        ),
-        params,
-        xyz_pe_t,
-        dir_pe_t,
-    )
-    return vjp(g)
+        d = jnp.zeros((DIR_PAD, n + n_pad), dtype)
+    else:
+        d = jnp.pad(dir_pe_t.astype(dtype), ((0, DIR_PAD - DIR_CH), (0, n_pad)))
+
+    g = g.astype(jnp.float32)
+    if sigma_only:  # g (1, N): sigma grads only
+        g8 = jnp.zeros((OUT_PAD, n), jnp.float32).at[3:4].set(g)
+    else:  # g (4, N): rows 0:3 rgb, row 3 sigma
+        g8 = jnp.zeros((OUT_PAD, n), jnp.float32).at[0:4].set(g)
+    g8 = jnp.pad(g8, ((0, 0), (0, n_pad)))
+
+    operands = pack_weights_t(params, dtype)
+    dws, dbs, dx, dd = _backward_t(x, d, g8, operands, use_new_activation)
+    params_grad = _unpack_grads_t(dws, dbs, params)
+    dxyz = dx[:XYZ_CH, :n].astype(xyz_pe_t.dtype)
+    if dir_pe_t is None:
+        return params_grad, dxyz, None
+    return params_grad, dxyz, dd[:DIR_CH, :n].astype(dir_pe_t.dtype)
 
 
 fused_nerf_mlp_t.defvjp(_fwd, _bwd)
