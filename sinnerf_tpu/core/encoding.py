@@ -64,7 +64,7 @@ def positional_encoding_blocked(
 
 
 def positional_encoding_blocked_t(
-    x_t: jnp.ndarray, n_freqs: int, logscale: bool = True
+    x_t: jnp.ndarray, n_freqs: int, logscale: bool = True, out_dtype=None
 ) -> jnp.ndarray:
     """Channel-major blocked PE: (C, N) -> (C*(2F+1), N).
 
@@ -73,11 +73,16 @@ def positional_encoding_blocked_t(
     lane axis and is compact.  Row order matches ``positional_encoding_blocked``
     (identity block, then sin rows f-major, then cos rows), i.e. consumers use
     the same ``blocked_perm`` weight permutation.
+
+    ``out_dtype`` (e.g. bfloat16) casts the OUTPUT only — the phase
+    ``2^k * x`` and sin/cos always evaluate in the input precision (bf16's
+    8-bit mantissa cannot represent high-frequency phases).
     """
     c = x_t.shape[0]
     bands = freq_bands(n_freqs, logscale).astype(x_t.dtype)
     xb = (bands[:, None, None] * x_t[None]).reshape(n_freqs * c, -1)
-    return jnp.concatenate([x_t, jnp.sin(xb), jnp.cos(xb)], axis=0)
+    out = jnp.concatenate([x_t, jnp.sin(xb), jnp.cos(xb)], axis=0)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def blocked_perm(in_channels: int, n_freqs: int):

@@ -89,15 +89,18 @@ def _query_t(
     more time on PE + layout than on the MLP itself).
     """
     n_rays, s = z_vals.shape
+    cd = settings.dtype  # bf16 storage for the big point-level tensors
     xyz_t = (
         rays_o_t[:, :, None] + rays_d_t[:, :, None] * z_vals[None]
     ).reshape(3, n_rays * s)
-    xyz_pe_t = positional_encoding_blocked_t(xyz_t, N_FREQS_XYZ)
+    # phases evaluate in f32; only the bounded sin/cos outputs store as bf16
+    xyz_pe_t = positional_encoding_blocked_t(xyz_t, N_FREQS_XYZ, out_dtype=cd)
     if sigma_only:
         d_pe_t = None
     else:
+        d_small = dir_pe_t.astype(cd) if cd is not None else dir_pe_t
         d_pe_t = jnp.broadcast_to(
-            dir_pe_t[:, :, None], (dir_pe_t.shape[0], n_rays, s)
+            d_small[:, :, None], (d_small.shape[0], n_rays, s)
         ).reshape(-1, n_rays * s)
 
     if settings.mlp_impl == "pallas":
