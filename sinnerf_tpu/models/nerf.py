@@ -195,11 +195,20 @@ def nerf_apply_t(
     """
     params = permute_params_for_blocked_pe(params, skips=skips)
     depth = sum(1 for k in params if k.startswith("xyz_encoding_") and k[13:].isdigit())
+    in_xyz = xyz_pe_t.shape[0]
     x = xyz_pe_t
     for i in range(depth):
         if i in skips:
-            x = jnp.concatenate([xyz_pe_t.astype(x.dtype), x], axis=0)
-        x = _dense_t(x, params[f"xyz_encoding_{i + 1}"], compute_dtype)
+            # algebraic split of the skip concat: cat([pe, h]) @ W ==
+            # pe @ W[:in_xyz] + h @ W[in_xyz:] — avoids materializing a
+            # (319, N) tensor (multi-GB at training point counts)
+            w = params[f"xyz_encoding_{i + 1}"]
+            x = (
+                _dense_t(xyz_pe_t, {"w": w["w"][:in_xyz], "b": w["b"]}, compute_dtype)
+                + _dense_t(x, {"w": w["w"][in_xyz:], "b": jnp.zeros_like(w["b"])}, compute_dtype)
+            )
+        else:
+            x = _dense_t(x, params[f"xyz_encoding_{i + 1}"], compute_dtype)
         x = jax.nn.relu(x)
 
     sigma = _dense_t(x, params["sigma"], compute_dtype)
@@ -207,8 +216,12 @@ def nerf_apply_t(
         return sigma
 
     feat = _dense_t(x, params["xyz_encoding_final"], compute_dtype)
-    d = jnp.concatenate([feat, dir_pe_t.astype(feat.dtype)], axis=0)
-    d = _dense_t(d, params["dir_encoding"], compute_dtype)
+    wd = params["dir_encoding"]
+    width = wd["w"].shape[0] - dir_pe_t.shape[0]
+    d = (
+        _dense_t(feat, {"w": wd["w"][:width], "b": wd["b"]}, compute_dtype)
+        + _dense_t(dir_pe_t, {"w": wd["w"][width:], "b": jnp.zeros_like(wd["b"])}, compute_dtype)
+    )
     d = shifted_softplus(d) if use_new_activation else jax.nn.relu(d)
     rgb = _dense_t(d, params["rgb"], compute_dtype)
     rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)

@@ -58,6 +58,9 @@ class RenderSettings:
     # is the renderer's most expensive non-MLP op).  Exact reference
     # semantics (iid uniforms + full sort) with fast_merge=False.
     fast_merge: bool = True
+    # Points per MLP chunk: bounds peak HBM (activations are (256, chunk));
+    # chunks stream through lax.map with rematerialized backward.
+    points_chunk: int = 2 * 1024 * 1024
 
     def eval_mode(self) -> "RenderSettings":
         """Deterministic settings for validation/eval (eval.py:95-107)."""
@@ -89,40 +92,67 @@ def _query_t(
     more time on PE + layout than on the MLP itself).
     """
     n_rays, s = z_vals.shape
+    n_pts = n_rays * s
     cd = settings.dtype  # bf16 storage for the big point-level tensors
     xyz_t = (
         rays_o_t[:, :, None] + rays_d_t[:, :, None] * z_vals[None]
-    ).reshape(3, n_rays * s)
-    # phases evaluate in f32; only the bounded sin/cos outputs store as bf16
-    xyz_pe_t = positional_encoding_blocked_t(xyz_t, N_FREQS_XYZ, out_dtype=cd)
+    ).reshape(3, n_pts)
     if sigma_only:
-        d_pe_t = None
+        dir_t = jnp.zeros_like(xyz_t)
     else:
-        d_small = dir_pe_t.astype(cd) if cd is not None else dir_pe_t
-        d_pe_t = jnp.broadcast_to(
-            d_small[:, :, None], (d_small.shape[0], n_rays, s)
-        ).reshape(-1, n_rays * s)
+        dir_t = jnp.broadcast_to(
+            rays_d_t[:, :, None], (3, n_rays, s)
+        ).reshape(3, n_pts)
 
-    if settings.mlp_impl == "pallas":
-        from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
-
-        out = fused_nerf_mlp_t(
-            model_params,
-            xyz_pe_t,
-            d_pe_t,
-            sigma_only,
-            settings.use_new_activation,
-            settings.compute_dtype,
+    def apply_chunk(args):
+        """PE + MLP for one point chunk; PE phases evaluate in f32 and only
+        the bounded sin/cos outputs store in bf16."""
+        xc, dc = args
+        xyz_pe_t = positional_encoding_blocked_t(xc, N_FREQS_XYZ, out_dtype=cd)
+        d_pe_t = (
+            None
+            if sigma_only
+            else positional_encoding_blocked_t(dc, N_FREQS_DIR, out_dtype=cd)
         )
+        if settings.mlp_impl == "pallas":
+            from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+            # custom VJP recomputes in-kernel; no extra remat needed
+            return fused_nerf_mlp_t(
+                model_params,
+                xyz_pe_t,
+                d_pe_t,
+                sigma_only,
+                settings.use_new_activation,
+                settings.compute_dtype,
+            )
+        # remat: recompute this chunk's activations in backward instead of
+        # storing 13x (256, chunk) residuals (tens of GB at training sizes)
+        fn = jax.checkpoint(
+            lambda p, x, d: nerf_apply_t(
+                p,
+                x,
+                d,
+                sigma_only=sigma_only,
+                use_new_activation=settings.use_new_activation,
+                compute_dtype=settings.dtype,
+            )
+        )
+        return fn(model_params, xyz_pe_t, d_pe_t)
+
+    chunk = settings.points_chunk
+    if n_pts <= chunk:
+        out = apply_chunk((xyz_t, dir_t))
     else:
-        out = nerf_apply_t(
-            model_params,
-            xyz_pe_t,
-            d_pe_t,
-            sigma_only=sigma_only,
-            use_new_activation=settings.use_new_activation,
-            compute_dtype=settings.dtype,
-        )
+        pad = (-n_pts) % chunk
+        xyz_p = jnp.pad(xyz_t, ((0, 0), (0, pad))).reshape(3, -1, chunk)
+        dir_p = jnp.pad(dir_t, ((0, 0), (0, pad))).reshape(3, -1, chunk)
+        out = jax.lax.map(
+            apply_chunk,
+            (xyz_p.transpose(1, 0, 2), dir_p.transpose(1, 0, 2)),
+        )  # (K, C_out, chunk)
+        out = out.transpose(1, 0, 2).reshape(out.shape[1], -1)[:, :n_pts]
+
     if sigma_only:
         return out.reshape(n_rays, s)
     return out.reshape(4, n_rays, s)

@@ -263,3 +263,36 @@ def test_fast_merge_equals_exact_sort_deterministic():
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6, err_msg=k
         )
+
+
+def test_points_chunking_matches_unchunked():
+    """Tiny points_chunk forces the lax.map streaming path; results must be
+    identical to the single-call path."""
+    params = {"coarse": _make_params(30), "fine": _make_params(31)}
+    for m in params.values():  # avoid the zero-density degenerate init
+        m["sigma"]["b"] = m["sigma"]["b"] + 2.0
+    rng = np.random.default_rng(30)
+    rays = np.concatenate(
+        [
+            rng.normal(size=(64, 3)).astype(np.float32),
+            rng.normal(size=(64, 3)).astype(np.float32),
+            np.full((64, 1), 2.0, np.float32),
+            np.full((64, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    big = RenderSettings(n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0)
+    small = dataclasses.replace(big, points_chunk=128)  # 64*8=512 pts -> 4 chunks
+    a = render_rays(params, jnp.asarray(rays), None, big)
+    b = render_rays(params, jnp.asarray(rays), None, small)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    # grads flow through the chunked+remat path
+    def loss(p):
+        return jnp.mean(
+            render_rays(p, jnp.asarray(rays), None, small)["rgb_fine"] ** 2
+        )
+    g = jax.grad(loss)(params)
+    assert sum(float(jnp.abs(v["w"]).sum()) for v in g["fine"].values()) > 0
