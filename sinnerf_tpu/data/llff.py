@@ -222,6 +222,7 @@ class LLFFEval(SingleImageDataset):
         split: str = "val",
         img_wh: Tuple[int, int] = (504, 378),
         spheric_poses: bool = False,
+        val_num: int = 1,
         **kwargs,
     ):
         self.root_dir = root_dir
@@ -245,15 +246,16 @@ class LLFFEval(SingleImageDataset):
         self.directions = np.asarray(get_ray_directions(h, w, self.focal))
 
         if split == "val":
-            self.val_rays = [
-                pack_rays_np(
-                    self.directions, self.poses[self.val_idx], self.near, self.far
-                )
-            ]
-            self.val_rgbs = [
-                load_image(self.image_paths[self.val_idx], img_wh).reshape(-1, 3)
-            ]
-            self.length = 1
+            # val_num > 1 repeats the center image so every DDP rank of the
+            # reference validated the same view (llff.py:170); kept for parity
+            val_num = max(1, val_num)
+            rays = pack_rays_np(
+                self.directions, self.poses[self.val_idx], self.near, self.far
+            )
+            rgbs = load_image(self.image_paths[self.val_idx], img_wh).reshape(-1, 3)
+            self.val_rays = [rays] * val_num
+            self.val_rgbs = [rgbs] * val_num
+            self.length = val_num
         elif split == "test_train":
             self.val_rays = [
                 pack_rays_np(self.directions, p, self.near, self.far)
