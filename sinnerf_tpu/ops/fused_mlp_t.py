@@ -12,10 +12,9 @@ Weight layout: blocked-PE row permutation (core.encoding.blocked_perm) then
 transposed to (out, in); the skip/dir concats are algebraically split as in
 ``fused_mlp.py``.
 
-Backward: custom VJP via the XLA channel-major path's autodiff
-(``nerf_apply_t``) — activations recompute; a fully fused transposed backward
-kernel is the follow-up (forward is the eval/bench hot path; training grads
-remain correct through XLA).
+Backward: a fully fused transposed kernel (``_bwd_kernel_t``) — recompute
+forward in VMEM, backprop all weight/bias/input grads with weight-grad blocks
+accumulated across the sequential grid.  Verified against XLA autodiff.
 """
 
 from __future__ import annotations
@@ -106,7 +105,7 @@ def _kernel_t(x_ref, d_ref, *refs, use_new_activation: bool, sigma_only: bool):
     (
         w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
         b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
-        out_ref,
+        rgb_ref, sig_ref,
     ) = refs
 
     x = x_ref[:]  # (64, T)
@@ -126,9 +125,10 @@ def _kernel_t(x_ref, d_ref, *refs, use_new_activation: bool, sigma_only: bool):
     h = act(dot(w8, h) + b8[:]).astype(cd)
 
     sigma = dot(wsig, h) + bsig[:]  # (8, T); row 0 real
+    sig_ref[:] = sigma.astype(sig_ref.dtype)
 
     if sigma_only:
-        out_ref[:] = sigma.astype(out_ref.dtype)
+        rgb_ref[:] = jnp.zeros(rgb_ref.shape, rgb_ref.dtype)
         return
 
     f = (dot(wfin, h) + bfin[:]).astype(cd)
@@ -137,9 +137,7 @@ def _kernel_t(x_ref, d_ref, *refs, use_new_activation: bool, sigma_only: bool):
     d = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
     rgb = dot(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
     rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
-
-    out = rgb.at[3:4, :].set(sigma[0:1, :])
-    out_ref[:] = out.astype(out_ref.dtype)
+    rgb_ref[:] = rgb.astype(rgb_ref.dtype)
 
 
 def _forward_t(
@@ -164,16 +162,21 @@ def _forward_t(
     kernel = functools.partial(
         _kernel_t, use_new_activation=use_new_activation, sigma_only=sigma_only
     )
-    return pl.pallas_call(
+    rgb, sig = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
+            jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
+        ],
         interpret=jax.default_backend() != "tpu",
     )(x_t, d_t, *operands)
+    return rgb, sig
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +187,7 @@ def _forward_t(
 TILE_BWD_T = 1024
 
 
-def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
+def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: bool):
     (
         w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
         b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
@@ -205,7 +208,8 @@ def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
 
     x = x_ref[:]      # (64, T)
     d_in = d_ref[:]   # (32, T)
-    g = g_ref[:]      # (8, T): rows 0:3 d_rgb, row 3 d_sigma
+    g_rgb = grgb_ref[:]  # (8, T): rows 0:3 = d_rgb, rest zero
+    g_sig_in = gsig_ref[:]  # (8, T): row 0 = d_sigma, rest zero
 
     def dot(a_ref, b_val):
         return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
@@ -241,8 +245,6 @@ def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
     a_rgb = dot(wrgb, d_act) + brgb[:]  # (8, T)
 
     # heads
-    zero8 = jnp.zeros_like(a_rgb)
-    g_rgb = zero8.at[0:3, :].set(g[0:3, :])
     if use_new_activation:
         t = jnp.tanh(0.5 * a_rgb)
         dact_rgb = 0.25 * (1.0 + 2e-3) * (1.0 - t * t)
@@ -267,7 +269,7 @@ def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
     dbfin[:] += jnp.sum(df, axis=1, keepdims=True)
     dh8 = dot_tn(wfin, df)
 
-    g_sig = zero8.at[0:1, :].set(g[3:4, :]).astype(cd)
+    g_sig = g_sig_in.astype(cd)
     dwsig[:] += dot_nt(g_sig, h8)
     dbsig[:] += jnp.sum(g_sig, axis=1, keepdims=True)
     dh8 = dh8 + dot_tn(wsig, g_sig)
@@ -307,7 +309,8 @@ def _bwd_kernel_t(x_ref, d_ref, g_ref, *refs, use_new_activation: bool):
 def _backward_t(
     x_t: jnp.ndarray,
     d_t: jnp.ndarray,
-    g8: jnp.ndarray,
+    g_rgb8: jnp.ndarray,
+    g_sig8: jnp.ndarray,
     operands: Tuple[jnp.ndarray, ...],
     use_new_activation: bool,
 ):
@@ -317,6 +320,7 @@ def _backward_t(
     in_specs = [
         pl.BlockSpec((XYZ_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((DIR_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((OUT_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     for op in operands:
@@ -352,7 +356,7 @@ def _backward_t(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=jax.default_backend() != "tpu",
-    )(x_t, d_t, g8, *operands)
+    )(x_t, d_t, g_rgb8, g_sig8, *operands)
     return outs[:14], outs[14:26], outs[26], outs[27]
 
 
@@ -418,10 +422,10 @@ def fused_nerf_mlp_t(
     else:
         d = jnp.pad(dir_pe_t.astype(dtype), ((0, DIR_PAD - DIR_CH), (0, n_pad)))
     operands = pack_weights_t(params, dtype)
-    out = _forward_t(x, d, operands, use_new_activation, sigma_only)
+    rgb, sig = _forward_t(x, d, operands, use_new_activation, sigma_only)
     if sigma_only:
-        return out[0:1, :n]
-    return out[0:4, :n]
+        return sig[0:1, :n]
+    return jnp.concatenate([rgb[0:3, :n], sig[0:1, :n]], axis=0)
 
 
 def _fwd(params, xyz_pe_t, dir_pe_t, sigma_only, use_new_activation, compute_dtype):
@@ -446,13 +450,16 @@ def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
 
     g = g.astype(jnp.float32)
     if sigma_only:  # g (1, N): sigma grads only
-        g8 = jnp.zeros((OUT_PAD, n), jnp.float32).at[3:4].set(g)
+        g_rgb8 = jnp.zeros((OUT_PAD, n), jnp.float32)
+        g_sig8 = jnp.pad(g, ((0, OUT_PAD - 1), (0, 0)))
     else:  # g (4, N): rows 0:3 rgb, row 3 sigma
-        g8 = jnp.zeros((OUT_PAD, n), jnp.float32).at[0:4].set(g)
-    g8 = jnp.pad(g8, ((0, 0), (0, n_pad)))
+        g_rgb8 = jnp.pad(g[0:3], ((0, OUT_PAD - 3), (0, 0)))
+        g_sig8 = jnp.pad(g[3:4], ((0, OUT_PAD - 1), (0, 0)))
+    g_rgb8 = jnp.pad(g_rgb8, ((0, 0), (0, n_pad)))
+    g_sig8 = jnp.pad(g_sig8, ((0, 0), (0, n_pad)))
 
     operands = pack_weights_t(params, dtype)
-    dws, dbs, dx, dd = _backward_t(x, d, g8, operands, use_new_activation)
+    dws, dbs, dx, dd = _backward_t(x, d, g_rgb8, g_sig8, operands, use_new_activation)
     params_grad = _unpack_grads_t(dws, dbs, params)
     dxyz = dx[:XYZ_CH, :n].astype(xyz_pe_t.dtype)
     if dir_pe_t is None:
