@@ -64,7 +64,7 @@ def get_opts(args=None):
     parser.add_argument('--scan', type=int, default=4)
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
-    parser.add_argument('--mlp_impl', type=str, default='xla',
+    parser.add_argument('--mlp_impl', type=str, default='pallas',
                         choices=['xla', 'pallas'])
     parser.add_argument('--ref_idx', type=int, default=None,
                         help='override the blender reference-frame index')

@@ -104,7 +104,7 @@ def get_opts(args=None):
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
                         help='matmul compute dtype for the NeRF MLP')
-    parser.add_argument('--mlp_impl', type=str, default='xla',
+    parser.add_argument('--mlp_impl', type=str, default='pallas',
                         choices=['xla', 'pallas'],
                         help='NeRF MLP implementation for the hot path')
     parser.add_argument('--vit_weights', type=str, default=None,

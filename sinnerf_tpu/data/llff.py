@@ -122,17 +122,23 @@ class LLFFProj(SingleImageDataset):
                 load_image(p, img_wh).reshape(-1, 3) for p in self.image_paths
             ]
             self.length = len(self.poses)
-        else:  # parametric test path
-            if not spheric_poses:
+        else:  # parametric test path (llff_proj.py:592-603)
+            if split.endswith("train"):  # test on the real camera poses
+                poses_test = self.poses
+                self.val_rgbs = [
+                    load_image(p, img_wh).reshape(-1, 3) for p in self.image_paths
+                ]
+            elif not spheric_poses:
                 radii = np.percentile(np.abs(self.poses[..., 3]), 90, axis=0)
                 poses_test = pose_np.create_spiral_poses(radii, 3.5)
+                self.val_rgbs = None
             else:
                 poses_test = pose_np.create_spheric_poses(1.1 * self.bounds.min())
+                self.val_rgbs = None
             self.val_rays = [
                 pack_rays_np(self.directions, p, self.near, self.far)
                 for p in poses_test
             ]
-            self.val_rgbs = None
             self.length = len(poses_test)
 
     def _build_train(self, depth_type, psx, psy, sW, sH, num_rays):

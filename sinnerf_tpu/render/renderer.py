@@ -52,7 +52,7 @@ class RenderSettings:
     detach_coarse: bool = False
     use_new_activation: bool = True
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    mlp_impl: str = "xla"  # 'xla' | 'pallas'
+    mlp_impl: str = "pallas"  # 'pallas' (fused kernels, default) | 'xla'
     # Fast merged resampling: stratified (sorted) importance samples + O(n)
     # two-way merge instead of jnp.sort over the 192-wide concat (XLA's sort
     # is the renderer's most expensive non-MLP op).  Exact reference
@@ -76,15 +76,13 @@ def _query_t(
     rays_o_t: jnp.ndarray,
     rays_d_t: jnp.ndarray,
     z_vals: jnp.ndarray,
-    dir_pe_t: Optional[jnp.ndarray],
     settings: RenderSettings,
     sigma_only: bool,
 ) -> jnp.ndarray:
     """Evaluate one NeRF on the sampled points of every ray, channel-major.
 
-    rays_o_t/rays_d_t: (3, N_rays); z_vals: (N_rays, S); dir_pe_t: (27, N_rays)
-    blocked-layout direction PE.  Returns (4, N_rays, S) rgb+sigma (or
-    (N_rays, S) sigma when sigma_only).
+    rays_o_t/rays_d_t: (3, N_rays); z_vals: (N_rays, S).
+    Returns (4, N_rays, S) rgb+sigma (or (N_rays, S) sigma when sigma_only).
 
     The whole pipeline keeps the point axis on TPU lanes: the world positions
     are (3, N*S), the PE (63, N*S), activations (256, N*S) — no minor-dim-3
@@ -184,10 +182,10 @@ def render_rays(
     near, far = rays[:, 6:7], rays[:, 7:8]
 
     # channel-major views for the hot path (the (N, 8) ray bundle itself is
-    # small; the transposes here are negligible)
+    # small; the transposes here are negligible); direction PE is computed
+    # per-point inside the chunked query
     rays_o_t = rays_o.T  # (3, N)
     rays_d_t = rays_d.T
-    dir_pe_t = positional_encoding_blocked_t(rays_d_t, N_FREQS_DIR)  # (27, N)
 
     z_vals = stratified_z_vals(
         near,
@@ -201,7 +199,7 @@ def render_rays(
     result: Dict[str, jnp.ndarray] = {}
     if settings.test_time:
         sigmas = _query_t(
-            params["coarse"], rays_o_t, rays_d_t, z_vals, None, settings, True
+            params["coarse"], rays_o_t, rays_d_t, z_vals, settings, True
         )
         weights_coarse = compute_weights(sigmas, z_vals, rays_d)
         result["opacity_coarse"] = weights_coarse
@@ -210,7 +208,7 @@ def render_rays(
         if settings.detach_coarse:
             coarse_params = jax.lax.stop_gradient(coarse_params)
         out = _query_t(
-            coarse_params, rays_o_t, rays_d_t, z_vals, dir_pe_t, settings, False
+            coarse_params, rays_o_t, rays_d_t, z_vals, settings, False
         )
         comp = composite_t(
             out[0:3],
@@ -249,7 +247,7 @@ def render_rays(
             )
 
         out = _query_t(
-            params["fine"], rays_o_t, rays_d_t, z_all, dir_pe_t, settings, False
+            params["fine"], rays_o_t, rays_d_t, z_all, settings, False
         )
         comp = composite_t(
             out[0:3],
