@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from sinnerf_tpu.core.activations import shifted_softplus, widened_sigmoid
 from sinnerf_tpu.models.nerf import nerf_apply_t, permute_params_for_blocked_pe
 
+import os
+
 XYZ_CH = 63
 XYZ_PAD = 64
 DIR_CH = 27
@@ -37,7 +39,8 @@ DIR_PAD = 32
 WIDTH = 256
 HALF = 128
 OUT_PAD = 8
-TILE_T = 2048  # points (lanes) per grid step
+# points (lanes) per grid step; env-tunable for on-hardware sweeps
+TILE_T = int(os.environ.get("SINNERF_TILE_T", "2048"))
 
 
 def _pad_cols(w: jnp.ndarray, cols: int) -> jnp.ndarray:
@@ -184,7 +187,7 @@ def _forward_t(
 # weight grads accumulated across the sequential grid into shared blocks.
 # ---------------------------------------------------------------------------
 
-TILE_BWD_T = 1024
+TILE_BWD_T = int(os.environ.get("SINNERF_TILE_BWD_T", "1024"))
 
 
 def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: bool):
