@@ -233,6 +233,11 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
     act = jax.nn.relu
     cd = x.dtype
 
+    def rmask(h):
+        # Mosaic on v5e cannot compare bf16 directly ("Target does not
+        # support this comparison"); compare in f32.
+        return h.astype(jnp.float32) > 0.0
+
     # recompute forward
     h1 = act(dot(w1, x) + b1[:]).astype(cd)
     h2 = act(dot(w2, h1) + b2[:]).astype(cd)
@@ -278,29 +283,29 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
     dh8 = dh8 + dot_tn(wsig, g_sig)
 
     # trunk
-    da8 = (dh8 * (h8 > 0)).astype(cd)
+    da8 = (dh8 * rmask(h8)).astype(cd)
     dw8[:] += dot_nt(da8, h7)
     db8[:] += jnp.sum(da8, axis=1, keepdims=True)
-    da7 = (dot_tn(w8, da8) * (h7 > 0)).astype(cd)
+    da7 = (dot_tn(w8, da8) * rmask(h7)).astype(cd)
     dw7[:] += dot_nt(da7, h6)
     db7[:] += jnp.sum(da7, axis=1, keepdims=True)
-    da6 = (dot_tn(w7, da7) * (h6 > 0)).astype(cd)
+    da6 = (dot_tn(w7, da7) * rmask(h6)).astype(cd)
     dw6[:] += dot_nt(da6, h5)
     db6[:] += jnp.sum(da6, axis=1, keepdims=True)
-    da5 = (dot_tn(w6, da6) * (h5 > 0)).astype(cd)
+    da5 = (dot_tn(w6, da6) * rmask(h5)).astype(cd)
     dw5h[:] += dot_nt(da5, h4)
     dw5x[:] += dot_nt(da5, x)
     db5[:] += jnp.sum(da5, axis=1, keepdims=True)
-    da4 = (dot_tn(w5h, da5) * (h4 > 0)).astype(cd)
+    da4 = (dot_tn(w5h, da5) * rmask(h4)).astype(cd)
     dw4[:] += dot_nt(da4, h3)
     db4[:] += jnp.sum(da4, axis=1, keepdims=True)
-    da3 = (dot_tn(w4, da4) * (h3 > 0)).astype(cd)
+    da3 = (dot_tn(w4, da4) * rmask(h3)).astype(cd)
     dw3[:] += dot_nt(da3, h2)
     db3[:] += jnp.sum(da3, axis=1, keepdims=True)
-    da2 = (dot_tn(w3, da3) * (h2 > 0)).astype(cd)
+    da2 = (dot_tn(w3, da3) * rmask(h2)).astype(cd)
     dw2[:] += dot_nt(da2, h1)
     db2[:] += jnp.sum(da2, axis=1, keepdims=True)
-    da1 = (dot_tn(w2, da2) * (h1 > 0)).astype(cd)
+    da1 = (dot_tn(w2, da2) * rmask(h1)).astype(cd)
     dw1[:] += dot_nt(da1, x)
     db1[:] += jnp.sum(da1, axis=1, keepdims=True)
 
