@@ -8,7 +8,6 @@ import pytest
 
 from sinnerf_tpu.core.encoding import positional_encoding
 from sinnerf_tpu.models.nerf import init_nerf_params, nerf_apply
-from sinnerf_tpu.ops.fused_mlp import fused_nerf_mlp
 from sinnerf_tpu.render.renderer import RenderSettings, render_rays
 
 
@@ -20,57 +19,6 @@ def _inputs(n=700, seed=0):
         positional_encoding(jnp.asarray(xyz), 10),
         positional_encoding(jnp.asarray(dirs), 4),
     )
-
-
-def test_fused_matches_reference_f32():
-    params = init_nerf_params(jax.random.key(0))
-    xyz_pe, dir_pe = _inputs()
-    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe))
-    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, True, "float32"))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
-def test_fused_sigma_only():
-    params = init_nerf_params(jax.random.key(1))
-    xyz_pe, _ = _inputs(seed=1)
-    want = np.asarray(nerf_apply(params, xyz_pe, sigma_only=True))
-    got = np.asarray(fused_nerf_mlp(params, xyz_pe, None, True, True, "float32"))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
-def test_fused_old_activation():
-    params = init_nerf_params(jax.random.key(2))
-    xyz_pe, dir_pe = _inputs(seed=2)
-    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe, use_new_activation=False))
-    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, False, "float32"))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
-def test_fused_bf16_close():
-    params = init_nerf_params(jax.random.key(3))
-    xyz_pe, dir_pe = _inputs(seed=3)
-    want = np.asarray(nerf_apply(params, xyz_pe, dir_pe))
-    got = np.asarray(fused_nerf_mlp(params, xyz_pe, dir_pe, False, True, "bfloat16"))
-    assert np.abs(got - want).mean() < 0.05
-
-
-def test_fused_grad_matches_reference():
-    params = init_nerf_params(jax.random.key(4))
-    xyz_pe, dir_pe = _inputs(n=300, seed=4)
-
-    def loss_fused(p):
-        return jnp.mean(fused_nerf_mlp(p, xyz_pe, dir_pe, False, True, "float32") ** 2)
-
-    def loss_ref(p):
-        return jnp.mean(nerf_apply(p, xyz_pe, dir_pe) ** 2)
-
-    g1 = jax.grad(loss_fused)(params)
-    g2 = jax.grad(loss_ref)(params)
-    for k in g1:
-        np.testing.assert_allclose(
-            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
-            err_msg=k,
-        )
 
 
 def test_renderer_pallas_impl_matches_xla():
@@ -100,99 +48,6 @@ def test_renderer_pallas_impl_matches_xla():
             np.asarray(a[k]), np.asarray(b[k]), rtol=1e-4, atol=1e-5, err_msg=k
         )
 
-
-def test_fused_input_grads_match_reference():
-    """The backward kernel also produces input grads (xyz/dir PE)."""
-    params = init_nerf_params(jax.random.key(7))
-    xyz_pe, dir_pe = _inputs(n=200, seed=7)
-
-    def loss_fused(x, d):
-        return jnp.mean(fused_nerf_mlp(params, x, d, False, True, "float32") ** 2)
-
-    def loss_ref(x, d):
-        return jnp.mean(nerf_apply(params, x, d) ** 2)
-
-    gx1, gd1 = jax.grad(loss_fused, argnums=(0, 1))(xyz_pe, dir_pe)
-    gx2, gd2 = jax.grad(loss_ref, argnums=(0, 1))(xyz_pe, dir_pe)
-    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2), rtol=1e-4, atol=1e-6)
-
-
-def test_fused_sigma_only_grads():
-    params = init_nerf_params(jax.random.key(8))
-    xyz_pe, _ = _inputs(n=200, seed=8)
-
-    def loss_fused(p):
-        return jnp.mean(fused_nerf_mlp(p, xyz_pe, None, True, True, "float32") ** 2)
-
-    def loss_ref(p):
-        return jnp.mean(nerf_apply(p, xyz_pe, sigma_only=True) ** 2)
-
-    g1 = jax.grad(loss_fused)(params)
-    g2 = jax.grad(loss_ref)(params)
-    for k in g1:
-        np.testing.assert_allclose(
-            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
-            err_msg=k,
-        )
-
-
-def test_blocked_pe_layout_matches_reference_layout():
-    from sinnerf_tpu.core.encoding import positional_encoding_blocked
-
-    params = init_nerf_params(jax.random.key(9))
-    rng = np.random.default_rng(9)
-    xyz = jnp.asarray(rng.uniform(-1, 1, size=(300, 3)).astype(np.float32))
-    dirs = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32))
-    ref = nerf_apply(
-        params, positional_encoding(xyz, 10), positional_encoding(dirs, 4)
-    )
-    blk = nerf_apply(
-        params,
-        positional_encoding_blocked(xyz, 10),
-        positional_encoding_blocked(dirs, 4),
-        pe_layout="blocked",
-    )
-    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), rtol=1e-5, atol=1e-6)
-    fused = fused_nerf_mlp(
-        params,
-        positional_encoding_blocked(xyz, 10),
-        positional_encoding_blocked(dirs, 4),
-        False, True, "float32", "blocked",
-    )
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
-
-
-def test_blocked_pe_grads_match_reference_layout():
-    from sinnerf_tpu.core.encoding import positional_encoding_blocked
-
-    params = init_nerf_params(jax.random.key(10))
-    rng = np.random.default_rng(10)
-    xyz = jnp.asarray(rng.uniform(-1, 1, size=(200, 3)).astype(np.float32))
-    dirs = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
-
-    def loss_ref(p):
-        return jnp.mean(
-            nerf_apply(p, positional_encoding(xyz, 10), positional_encoding(dirs, 4)) ** 2
-        )
-
-    def loss_blk(p):
-        return jnp.mean(
-            fused_nerf_mlp(
-                p,
-                positional_encoding_blocked(xyz, 10),
-                positional_encoding_blocked(dirs, 4),
-                False, True, "float32", "blocked",
-            ) ** 2
-        )
-
-    g1 = jax.grad(loss_ref)(params)
-    g2 = jax.grad(loss_blk)(params)
-    for k in g1:
-        np.testing.assert_allclose(
-            np.asarray(g2[k]["w"]), np.asarray(g1[k]["w"]), rtol=1e-4, atol=1e-6,
-            err_msg=k,
-        )
 
 
 # ---------------------------------------------------------------- transposed
@@ -281,6 +136,59 @@ def test_fused_t_grads_match():
 
     g1 = jax.grad(loss_t)(params)
     g2 = jax.grad(loss_ref)(params)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_fused_t_input_grads_and_bf16():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
+    from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+    params = init_nerf_params(jax.random.key(14))
+    rng = np.random.default_rng(14)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(3, 200)).astype(np.float32))
+    pe_x = positional_encoding_blocked_t(xyz, 10)
+    pe_d = positional_encoding_blocked_t(dirs, 4)
+
+    def loss_t(x, d):
+        return jnp.mean(fused_nerf_mlp_t(params, x, d, False, True, "float32") ** 2)
+
+    def loss_ref(x, d):
+        from sinnerf_tpu.models.nerf import nerf_apply_t
+
+        return jnp.mean(nerf_apply_t(params, x, d) ** 2)
+
+    gx1, gd1 = jax.grad(loss_t, argnums=(0, 1))(pe_x, pe_d)
+    gx2, gd2 = jax.grad(loss_ref, argnums=(0, 1))(pe_x, pe_d)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2), rtol=1e-4, atol=1e-6)
+    # bf16 forward close to f32
+    f32 = fused_nerf_mlp_t(params, pe_x, pe_d, False, True, "float32")
+    bf16 = fused_nerf_mlp_t(params, pe_x, pe_d, False, True, "bfloat16")
+    assert np.abs(np.asarray(f32) - np.asarray(bf16)).mean() < 0.05
+
+
+def test_fused_t_sigma_only_grads():
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
+    from sinnerf_tpu.models.nerf import nerf_apply_t
+    from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+    params = init_nerf_params(jax.random.key(15))
+    rng = np.random.default_rng(15)
+    pe_x = positional_encoding_blocked_t(
+        jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32)), 10
+    )
+
+    g1 = jax.grad(
+        lambda p: jnp.mean(fused_nerf_mlp_t(p, pe_x, None, True, True, "float32") ** 2)
+    )(params)
+    g2 = jax.grad(
+        lambda p: jnp.mean(nerf_apply_t(p, pe_x, None, sigma_only=True) ** 2)
+    )(params)
     for k in g1:
         np.testing.assert_allclose(
             np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
