@@ -40,7 +40,7 @@ WIDTH = 256
 HALF = 128
 OUT_PAD = 8
 # points (lanes) per grid step; env-tunable for on-hardware sweeps
-TILE_T = int(os.environ.get("SINNERF_TILE_T", "2048"))
+TILE_T = int(os.environ.get("SINNERF_TILE_T", "4096"))  # swept on v5e: 4096 > 2048 > 8192
 
 
 def _pad_cols(w: jnp.ndarray, cols: int) -> jnp.ndarray:
