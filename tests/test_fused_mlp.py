@@ -194,3 +194,24 @@ def test_fused_t_sigma_only_grads():
             np.asarray(g1[k]["w"]), np.asarray(g2[k]["w"]), rtol=1e-4, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_row_major_blocked_pe_layout():
+    """The row-major blocked PE + pe_layout='blocked' apply path (kept for
+    API completeness) matches the reference layout."""
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked
+
+    params = init_nerf_params(jax.random.key(16))
+    rng = np.random.default_rng(16)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(100, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+    ref = nerf_apply(
+        params, positional_encoding(xyz, 10), positional_encoding(dirs, 4)
+    )
+    blk = nerf_apply(
+        params,
+        positional_encoding_blocked(xyz, 10),
+        positional_encoding_blocked(dirs, 4),
+        pe_layout="blocked",
+    )
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), rtol=1e-5, atol=1e-6)
