@@ -15,8 +15,6 @@ Example (reference README.md:92 works unchanged):
 
 import os
 from argparse import ArgumentParser
-from collections import defaultdict
-
 import numpy as np
 
 from sinnerf_tpu.utils.cache import enable_persistent_cache

@@ -11,7 +11,7 @@ the way the reference does (``blender_rot3d.py:253-331``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

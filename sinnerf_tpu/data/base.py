@@ -13,7 +13,7 @@ the reference spends minutes of single-threaded Python here).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Deviation: the reference dumps debug images into ``vis/`` at load time
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import cv2
 import numpy as np

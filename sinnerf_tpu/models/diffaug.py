@@ -8,8 +8,6 @@ key-driven ``jnp.where`` selects so the whole thing lives inside jit.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

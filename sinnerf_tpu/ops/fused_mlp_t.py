@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sinnerf_tpu.core.activations import shifted_softplus, widened_sigmoid
-from sinnerf_tpu.models.nerf import nerf_apply_t, permute_params_for_blocked_pe
+from sinnerf_tpu.models.nerf import permute_params_for_blocked_pe
 
 import os
 

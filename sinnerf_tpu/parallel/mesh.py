@@ -16,7 +16,7 @@ parallel, SURVEY.md §5 long-context note).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

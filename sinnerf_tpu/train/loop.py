@@ -33,7 +33,6 @@ from sinnerf_tpu.train.checkpoints import (
     TopKCheckpointManager,
     load_checkpoint,
     load_torch_nerf_checkpoint,
-    save_checkpoint,
 )
 from sinnerf_tpu.train.optimizers import get_optimizer, lr_for_epoch, set_lr
 from sinnerf_tpu.train.step import TrainConfig, TrainState, train_step
