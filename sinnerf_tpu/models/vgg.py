@@ -49,9 +49,10 @@ def init_vgg_params(key: jax.Array) -> Params:
 
 def vgg_preprocess(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-resize (B, 3, H, W) to 224 + ImageNet normalize
-    (losses.py:124-131)."""
-    b, c, _, _ = x.shape
-    x = jax.image.resize(x, (b, c, 224, 224), method="nearest")
+    (losses.py:124-131; torch F.interpolate nearest semantics)."""
+    from sinnerf_tpu.models.vit import torch_nearest_resize
+
+    x = torch_nearest_resize(x, 224)
     return (x - IMAGENET_MEAN.reshape(1, 3, 1, 1)) / IMAGENET_STD.reshape(1, 3, 1, 1)
 
 

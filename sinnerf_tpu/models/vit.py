@@ -126,12 +126,21 @@ def _gb(d):
     return {"g": d["g"], "b": d["b"]}
 
 
+def torch_nearest_resize(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Exact ``F.interpolate(mode='nearest')`` semantics: source index
+    ``floor(dst * src/dst)`` (jax.image.resize uses the half-pixel-center
+    convention, which picks different pixels)."""
+    b, c, h, w = x.shape
+    rows = jnp.floor(jnp.arange(size) * (h / size)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(size) * (w / size)).astype(jnp.int32)
+    return x[:, :, rows][:, :, :, cols]
+
+
 def vit_preprocess(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-resize (B, 3, H, W) to 224 and ImageNet-normalize, matching
     ``F.interpolate(x, size=(224, 224))`` (nearest by default) + mean/std at
     ``sinnerf.py:162-167``."""
-    b, c, _, _ = x.shape
-    x = jax.image.resize(x, (b, c, IMG_SIZE, IMG_SIZE), method="nearest")
+    x = torch_nearest_resize(x, IMG_SIZE)
     mean = IMAGENET_MEAN.reshape(1, 3, 1, 1)
     std = IMAGENET_STD.reshape(1, 3, 1, 1)
     return (x - mean) / std

@@ -190,3 +190,55 @@ def test_vgg_torch_conversion_matches_torchvision_layout():
     params = import_torch_vgg_state(state)
     assert len(params) == 10
     assert params[-1]["w"].shape == (512, 512, 3, 3)
+
+
+def test_vit_forward_matches_torch_implementation():
+    """Golden test: our jax ViT forward vs an independent torch implementation
+    of the DINO ViT-S/16 block math using identical weights."""
+    import torch
+    import torch.nn.functional as F
+
+    params = init_vit_params(jax.random.key(3))
+    x = np.random.default_rng(3).uniform(size=(1, 3, 224, 224)).astype(np.float32)
+
+    got = np.asarray(vit_tokens(params, jnp.asarray(x)))  # (12, 1, 197, 384)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    with torch.no_grad():
+        tx = torch.from_numpy(x)
+        patches = F.conv2d(tx, t(params["patch_embed"]["w"]), t(params["patch_embed"]["b"]), stride=16)
+        tokens = patches.flatten(2).transpose(1, 2)  # (1, 196, 384)
+        cls = t(params["cls_token"]).expand(1, -1, -1)
+        h = torch.cat([cls, tokens], dim=1) + t(params["pos_embed"])
+        outs = []
+        for blk in params["blocks"]:
+            hn = F.layer_norm(h, (384,), t(blk["norm1"]["g"]), t(blk["norm1"]["b"]), eps=1e-6)
+            qkv = hn @ t(blk["qkv"]["w"]) + t(blk["qkv"]["b"])
+            qkv = qkv.reshape(1, 197, 3, 6, 64).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = torch.softmax(q @ k.transpose(-2, -1) / 8.0, dim=-1)
+            o = (attn @ v).transpose(1, 2).reshape(1, 197, 384)
+            h = h + o @ t(blk["proj"]["w"]) + t(blk["proj"]["b"])
+            hn2 = F.layer_norm(h, (384,), t(blk["norm2"]["g"]), t(blk["norm2"]["b"]), eps=1e-6)
+            m = F.gelu(hn2 @ t(blk["fc1"]["w"]) + t(blk["fc1"]["b"]))
+            h = h + m @ t(blk["fc2"]["w"]) + t(blk["fc2"]["b"])
+            outs.append(h.clone())
+        want = torch.stack(outs).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_nearest_resize_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from sinnerf_tpu.models.vit import torch_nearest_resize
+
+    rng = np.random.default_rng(4)
+    for hw in [(64, 64), (32, 48), (63, 84)]:
+        x = rng.uniform(size=(1, 3, *hw)).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x), size=(224, 224)).numpy()
+        got = np.asarray(torch_nearest_resize(jnp.asarray(x), 224))
+        np.testing.assert_array_equal(got, want)
