@@ -126,7 +126,10 @@ class SinNeRFTrainer:
             self._resume(hparams.ckpt_path)
 
         # ---- data-parallel mesh (replaces DDP, train.py:51-52) ------------
+        # DDP semantics: --batch_size is PER-RANK (each reference rank runs
+        # its own DataLoader); the global batch is batch_size * num_gpus.
         self.mesh = None
+        self.global_batch_size = hparams.batch_size
         n_chips = getattr(hparams, "num_gpus", 1)
         if n_chips > 1:
             from sinnerf_tpu.parallel.mesh import make_mesh, replicate
@@ -134,11 +137,7 @@ class SinNeRFTrainer:
             if len(jax.devices()) >= n_chips:
                 self.mesh = make_mesh(n_chips)
                 self.state = TrainState(*replicate(list(self.state), self.mesh))
-                if hparams.batch_size % n_chips != 0:
-                    raise ValueError(
-                        f"batch_size {hparams.batch_size} must be divisible "
-                        f"by num_gpus {n_chips}"
-                    )
+                self.global_batch_size = hparams.batch_size * n_chips
             else:
                 print(
                     f"[parallel] requested {n_chips} chips but only "
@@ -219,7 +218,9 @@ class SinNeRFTrainer:
             for i in range(spe):
                 self.key, k_batch, k_step = jax.random.split(self.key, 3)
                 batch = self.train_dataset.sample(
-                    k_batch, step=epoch * spe + i, batch_size=hp.batch_size
+                    k_batch,
+                    step=epoch * spe + i,
+                    batch_size=self.global_batch_size,
                 )
                 if self.mesh is not None:
                     from sinnerf_tpu.parallel.mesh import shard_batch

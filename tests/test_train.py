@@ -227,3 +227,55 @@ def test_trainer_data_parallel_mesh(blender_root, tmp_path):
     # params stay replicated after the update
     w = trainer.state.params["coarse"]["sigma"]["w"]
     assert w.sharding.is_fully_replicated
+
+
+def test_fit_runs_epochs_with_val_and_checkpoint(blender_root, tmp_path):
+    """fit() end-to-end: sanity val, epoch loop with lr schedule, periodic
+    validation, top-k checkpointing."""
+    hp = _hparams(
+        blender_root, str(tmp_path), num_epochs=2, check_val_every_n_epoch=1,
+        num_rays=32, patch_size=16,
+    )
+    trainer = SinNeRFTrainer(hp)
+    # shrink the epoch length for test speed
+    trainer.train_dataset.length = 2
+    best = trainer.fit()
+    assert np.isfinite(best) and best > 0
+    ckpt_dir = os.path.join(hp.ckpt_dir, "test")
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    # top-k checkpoint for the best epoch exists as well
+    assert any(name.startswith("epoch_") for name in os.listdir(ckpt_dir))
+    assert int(trainer.state.step) == 4  # 2 epochs x 2 steps
+
+
+def test_train_cli_main(blender_root, tmp_path, monkeypatch):
+    """train.py main() wiring from reference-style argv."""
+    import train as train_cli
+    from opt import get_opts
+
+    monkeypatch.chdir(tmp_path)
+    argv = (
+        f"--dataset_name blender_ray_patch_1image_rot3d --root_dir {blender_root} "
+        "--img_wh 64 64 --N_samples 4 --N_importance 4 --num_epochs 1 "
+        "--batch_size 1 --optimizer adam --lr 2e-4 --lr_scheduler steplr "
+        "--decay_step 500 --decay_gamma 0.5 --exp_name cli_smoke --with_ref "
+        "--patch_size 16 --sW 2 --sH 2 --load_depth --depth_type nerf "
+        "--model sinnerf --depth_weight 8 --num_rays 32 "
+        "--check_val_every_n_epoch 1 --compute_dtype float32 --mlp_impl xla"
+    ).split()
+    hp = get_opts(argv)
+    hp.ref_idx = 0
+    trainer_best = None
+
+    # cap the run length: monkeypatch the dataset length after construction
+    import sinnerf_tpu.train.loop as loop_mod
+
+    orig_init = loop_mod.SinNeRFTrainer.__init__
+
+    def patched_init(self, hparams):
+        orig_init(self, hparams)
+        self.train_dataset.length = 2
+
+    monkeypatch.setattr(loop_mod.SinNeRFTrainer, "__init__", patched_init)
+    best = train_cli.main(hp)
+    assert np.isfinite(best)
