@@ -69,10 +69,10 @@ def searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndar
 def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Merge two per-row-sorted arrays (N, K1), (N, K2) -> sorted (N, K1+K2).
 
-    O(K1*K2) comparison-rank scatter instead of ``jnp.sort`` over the concat
-    (XLA's sort is a multi-pass comparator network — by far the renderer's
-    most expensive non-MLP op).  Stable: on ties, elements of ``a`` precede
-    elements of ``b``.
+    O(K1*K2) comparison-rank scatter.  NOTE: on TPU the row-wise scatter
+    lowers very poorly (57ms vs 2.6ms for ``jnp.sort`` at 65536x(64+64)) —
+    the renderer uses ``jnp.sort``; this stays for CPU-side use and as the
+    semantic spec.  Stable: on ties, elements of ``a`` precede ``b``.
     """
     k1, k2 = a.shape[-1], b.shape[-1]
     # rank of a[i] in the merged row = i + #(b < a[i]); strict for stability

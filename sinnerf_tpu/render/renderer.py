@@ -53,10 +53,9 @@ class RenderSettings:
     use_new_activation: bool = True
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mlp_impl: str = "pallas"  # 'pallas' (fused kernels, default) | 'xla'
-    # Fast merged resampling: stratified (sorted) importance samples + O(n)
-    # two-way merge instead of jnp.sort over the 192-wide concat (XLA's sort
-    # is the renderer's most expensive non-MLP op).  Exact reference
-    # semantics (iid uniforms + full sort) with fast_merge=False.
+    # Stratified (sorted) importance samples in the stochastic case — lower
+    # variance than the reference's iid uniforms, same marginal coverage.
+    # Exact reference semantics with fast_merge=False.
     fast_merge: bool = True
     # Points per MLP chunk: bounds peak HBM (activations are (256, chunk));
     # chunks stream through lax.map with rematerialized backward.
@@ -238,13 +237,10 @@ def render_rays(
         # Grad must not flow into coarse weights through the resampling
         # (rendering.py:311-313).
         z_fine = jax.lax.stop_gradient(z_fine)
-        if settings.fast_merge:
-            # both z arrays are per-row sorted -> O(n) stable merge
-            z_all = merge_sorted(z_vals, z_fine)
-        else:
-            z_all = jnp.sort(
-                jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1
-            )
+        # NOTE: an O(n) two-way merge (core.sampling.merge_sorted) is
+        # algorithmically cheaper but its scatter lowers catastrophically on
+        # TPU (57ms vs 2.6ms for XLA's sort at 65k rays) — sort wins.
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
 
         out = _query_t(
             params["fine"], rays_o_t, rays_d_t, z_all, settings, False

@@ -243,3 +243,19 @@ def test_sample_pdf_sorted_u_is_sorted_and_valid():
     )
     assert (np.diff(s, axis=-1) >= 0).all()
     assert s.min() >= 0.0 and s.max() <= 1.0
+
+
+def test_blocked_t_recurrence_matches_exact():
+    """The double-angle sin/cos ladder must match direct evaluation."""
+    from sinnerf_tpu.core.encoding import (
+        positional_encoding_blocked_t,
+        freq_bands,
+    )
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(3, 1000)).astype(np.float32))
+    got = np.asarray(positional_encoding_blocked_t(x, 10))
+    bands = np.asarray(freq_bands(10))
+    xb = (bands[:, None, None] * np.asarray(x)[None]).reshape(30, -1)
+    want = np.concatenate([np.asarray(x), np.sin(xb), np.cos(xb)], axis=0)
+    np.testing.assert_allclose(got, want, atol=3e-5)
