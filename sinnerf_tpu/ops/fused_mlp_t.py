@@ -41,6 +41,8 @@ HALF = 128
 OUT_PAD = 8
 # points (lanes) per grid step; env-tunable for on-hardware sweeps
 TILE_T = int(os.environ.get("SINNERF_TILE_T", "4096"))  # swept on v5e: 4096 > 2048 > 8192
+# bf16 bias+activation epilogues in the forward kernel (experimental knob)
+BF16_EPILOGUE = os.environ.get("SINNERF_BF16_EPILOGUE", "0") == "1"
 
 
 def _pad_cols(w: jnp.ndarray, cols: int) -> jnp.ndarray:
@@ -113,32 +115,52 @@ def _kernel_t(x_ref, d_ref, *refs, use_new_activation: bool, sigma_only: bool):
 
     x = x_ref[:]  # (64, T)
 
-    def dot(a_ref, b_val):
-        return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
-
     act = jax.nn.relu
     cd = x.dtype
-    h = act(dot(w1, x) + b1[:]).astype(cd)
-    h = act(dot(w2, h) + b2[:]).astype(cd)
-    h = act(dot(w3, h) + b3[:]).astype(cd)
-    h = act(dot(w4, h) + b4[:]).astype(cd)
-    h = act(dot(w5h, h) + dot(w5x, x) + b5[:]).astype(cd)
-    h = act(dot(w6, h) + b6[:]).astype(cd)
-    h = act(dot(w7, h) + b7[:]).astype(cd)
-    h = act(dot(w8, h) + b8[:]).astype(cd)
 
-    sigma = dot(wsig, h) + bsig[:]  # (8, T); row 0 real
+    if BF16_EPILOGUE and cd == jnp.bfloat16:
+        # epilogue (bias+relu) in bf16: halves VPU traffic per layer; the
+        # bf16 rounding of the f32 accumulator happens either way
+        def dot(a_ref, b_val):
+            return jnp.dot(
+                a_ref[:], b_val, preferred_element_type=jnp.float32
+            ).astype(cd)
+
+        def ep(b_ref):
+            return b_ref[:].astype(cd)
+    else:
+        def dot(a_ref, b_val):
+            return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
+
+        def ep(b_ref):
+            return b_ref[:]
+
+    h = act(dot(w1, x) + ep(b1)).astype(cd)
+    h = act(dot(w2, h) + ep(b2)).astype(cd)
+    h = act(dot(w3, h) + ep(b3)).astype(cd)
+    h = act(dot(w4, h) + ep(b4)).astype(cd)
+    h = act(dot(w5h, h) + dot(w5x, x) + ep(b5)).astype(cd)
+    h = act(dot(w6, h) + ep(b6)).astype(cd)
+    h = act(dot(w7, h) + ep(b7)).astype(cd)
+    h = act(dot(w8, h) + ep(b8)).astype(cd)
+
+    def dot32(a_ref, b_val):
+        return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
+
+    # head epilogues stay f32: Mosaic cannot legalize bf16 log1p/tanh chains,
+    # and these are a small share of the VPU work
+    sigma = dot32(wsig, h) + bsig[:]  # (8, T); row 0 real
     sig_ref[:] = sigma.astype(sig_ref.dtype)
 
     if sigma_only:
         rgb_ref[:] = jnp.zeros(rgb_ref.shape, rgb_ref.dtype)
         return
 
-    f = (dot(wfin, h) + bfin[:]).astype(cd)
+    f = (dot32(wfin, h) + bfin[:]).astype(cd)
     d_in = d_ref[:]  # (32, T)
-    a_d = dot(wdh, f) + dot(wdx, d_in) + bd[:]
+    a_d = dot32(wdh, f) + dot32(wdx, d_in) + bd[:]
     d = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
-    rgb = dot(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
+    rgb = dot32(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
     rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
     rgb_ref[:] = rgb.astype(rgb_ref.dtype)
 
