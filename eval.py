@@ -22,50 +22,48 @@ from sinnerf_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 
+_EVAL_FLAGS = [
+    ("root_dir", dict(type=str, required=True, help="root directory of dataset")),
+    ("dataset_name", dict(type=str, default="blender_ray_patch_1image_rot3d",
+                          choices=["llff", "blender_ray_patch_1image_rot3d",
+                                   "dtu_proj", "llff_ray_patch_1image_proj",
+                                   "blender_ray_patch_1image_proj"],
+                          help="which dataset to validate")),
+    ("scene_name", dict(type=str, default="test", help="output folder name")),
+    ("split", dict(type=str, default="test", help="test / test_train / val")),
+    ("img_wh", dict(nargs="+", type=int, default=[800, 800])),
+    ("spheric_poses", dict(flag=True)),
+    ("angle", dict(type=int, default=64)),
+    ("N_samples", dict(type=int, default=64)),
+    ("N_importance", dict(type=int, default=128)),
+    ("use_disp", dict(flag=True)),
+    ("chunk", dict(type=int, default=32 * 1024 * 4,
+                   help="on-device tile size for image rendering")),
+    ("timestamp", dict(type=str, default="")),
+    ("ckpt_path", dict(type=str, required=True,
+                       help="checkpoint to load (orbax dir or torch .ckpt)")),
+    ("depth_type", dict(type=str, default="nerf")),
+    ("save_depth", dict(flag=True)),
+    ("depth_format", dict(type=str, default="pfm",
+                          choices=["pfm", "bytes", "npy", "png"])),
+    ("model", dict(type=str, default="nerf", choices=["nerf", "nerf_ft"])),
+    ("scan", dict(type=int, default=4)),
+    ("compute_dtype", dict(type=str, default="float32",
+                           choices=["float32", "bfloat16"])),
+    ("mlp_impl", dict(type=str, default="pallas", choices=["xla", "pallas"])),
+    ("ref_idx", dict(type=int, default=None,
+                     help="override the blender reference-frame index")),
+]
+
+
 def get_opts(args=None):
     parser = ArgumentParser()
-    parser.add_argument('--root_dir', type=str, required=True,
-                        help='root directory of dataset')
-    parser.add_argument('--dataset_name', type=str, default='blender_ray_patch_1image_rot3d',
-                        choices=['llff', 'blender_ray_patch_1image_rot3d', 'dtu_proj',
-                                 'llff_ray_patch_1image_proj', 'blender_ray_patch_1image_proj'],
-                        help='which dataset to validate')
-    parser.add_argument('--scene_name', type=str, default='test',
-                        help='scene name, used as output folder name')
-    parser.add_argument('--split', type=str, default='test',
-                        help='test or test_train or val')
-    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
-    parser.add_argument('--spheric_poses', default=False, action="store_true",
-                        help='whether images are taken in spheric poses (for llff)')
-
-    parser.add_argument('--angle', type=int, default=64)
-    parser.add_argument('--N_samples', type=int, default=64,
-                        help='number of coarse samples')
-    parser.add_argument('--N_importance', type=int, default=128,
-                        help='number of additional fine samples')
-    parser.add_argument('--use_disp', default=False, action="store_true",
-                        help='use disparity depth sampling')
-    parser.add_argument('--chunk', type=int, default=32*1024*4,
-                        help='on-device tile size for image rendering')
-
-    parser.add_argument('--timestamp', type=str, default="")
-    parser.add_argument('--ckpt_path', type=str, required=True,
-                        help='pretrained checkpoint path to load (orbax dir or torch .ckpt)')
-    parser.add_argument('--depth_type', type=str, default='nerf')
-    parser.add_argument('--save_depth', default=False, action="store_true")
-    parser.add_argument('--depth_format', type=str, default='pfm',
-                        choices=['pfm', 'bytes', 'npy', 'png'],
-                        help='which format to save')
-    parser.add_argument('--model', type=str, default="nerf",
-                        choices=['nerf', 'nerf_ft'])
-    parser.add_argument('--scan', type=int, default=4)
-    parser.add_argument('--compute_dtype', type=str, default='float32',
-                        choices=['float32', 'bfloat16'])
-    parser.add_argument('--mlp_impl', type=str, default='pallas',
-                        choices=['xla', 'pallas'])
-    parser.add_argument('--ref_idx', type=int, default=None,
-                        help='override the blender reference-frame index')
+    for name, spec in _EVAL_FLAGS:
+        spec = dict(spec)
+        if spec.pop("flag", False):
+            parser.add_argument(f"--{name}", default=False, action="store_true")
+        else:
+            parser.add_argument(f"--{name}", **spec)
     return parser.parse_args(args)
 
 
