@@ -30,7 +30,9 @@ def import_reference_module(name: str):
     if not os.path.isfile(path):
         pytest.skip(f"reference file {path} missing")
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND so the reference tree never shadows this repo's top-level
+        # modules (train.py/eval.py/opt.py share names with the reference)
+        sys.path.append(REFERENCE_ROOT)
     modname = "ref_" + name.replace(".", "_")
     spec = importlib.util.spec_from_file_location(modname, path)
     module = importlib.util.module_from_spec(spec)

@@ -253,6 +253,12 @@ def test_fit_runs_epochs_with_val_and_checkpoint(blender_root, tmp_path):
 
 def test_train_cli_main(blender_root, tmp_path, monkeypatch):
     """train.py main() wiring from reference-style argv."""
+    # the reference mount shares top-level module names; make sure ours wins
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if sys.path[0] != repo_root:
+        sys.path.insert(0, repo_root)
+    sys.modules.pop("train", None)
+    sys.modules.pop("opt", None)
     import train as train_cli
     from opt import get_opts
 
