@@ -296,3 +296,19 @@ def test_points_chunking_matches_unchunked():
         )
     g = jax.grad(loss)(params)
     assert sum(float(jnp.abs(v["w"]).sum()) for v in g["fine"].values()) > 0
+
+
+def test_eval_points_matches_sigma_query():
+    """eval_points (point-cloud sigma tool, rendering.py:64-123) equals a
+    direct sigma-only MLP query on the fine model."""
+    from sinnerf_tpu.render.renderer import eval_points
+
+    params = {"coarse": _make_params(40), "fine": _make_params(41)}
+    rng = np.random.default_rng(40)
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(100, 3)).astype(np.float32))
+    got = eval_points(params, pts)
+    want = nerf_apply(
+        params["fine"], positional_encoding(pts, 10), sigma_only=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+    assert got.shape == (100, 1)
