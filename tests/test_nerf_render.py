@@ -312,3 +312,52 @@ def test_eval_points_matches_sigma_query():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
     assert got.shape == (100, 1)
+
+
+def test_detach_coarse_blocks_coarse_grads():
+    """detach_coarse (rendering.py:294-298): no grads reach the coarse model."""
+    params = {"coarse": _make_params(42), "fine": _make_params(43)}
+    for m in params.values():
+        m["sigma"]["b"] = m["sigma"]["b"] + 2.0
+    rays = jnp.concatenate(
+        [
+            jnp.zeros((4, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1)),
+            jnp.full((4, 1), 2.0),
+            jnp.full((4, 1), 6.0),
+        ],
+        axis=1,
+    )
+    s = RenderSettings(
+        n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0,
+        detach_coarse=True,
+    )
+
+    def loss(p):
+        out = render_rays(p, rays, None, s)
+        return jnp.mean(out["rgb_coarse"] ** 2) + jnp.mean(out["rgb_fine"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert sum(float(jnp.abs(v["w"]).sum()) for v in g["coarse"].values()) == 0.0
+    assert sum(float(jnp.abs(v["w"]).sum()) for v in g["fine"].values()) > 0
+
+
+def test_test_time_renders_opacity_and_fine_only():
+    """test_time (rendering.py:287-292): coarse pass is sigma-only."""
+    params = {"coarse": _make_params(44), "fine": _make_params(45)}
+    rng = np.random.default_rng(44)
+    rays = np.concatenate(
+        [
+            rng.normal(size=(8, 3)).astype(np.float32),
+            rng.normal(size=(8, 3)).astype(np.float32),
+            np.full((8, 1), 2.0, np.float32),
+            np.full((8, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    s = RenderSettings(n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0,
+                       test_time=True)
+    out = render_rays(params, jnp.asarray(rays), None, s)
+    assert set(out) == {"opacity_coarse", "rgb_fine", "depth_fine", "opacity_fine"}
+    assert out["opacity_coarse"].shape == (8, 8)
+    assert np.isfinite(np.asarray(out["rgb_fine"])).all()
