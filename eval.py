@@ -53,6 +53,8 @@ _EVAL_FLAGS = [
     ("mlp_impl", dict(type=str, default="pallas", choices=["xla", "pallas"])),
     ("ref_idx", dict(type=int, default=None,
                      help="override the blender reference-frame index")),
+    ("num_gpus", dict(type=int, default=1,
+                      help="chips to shard image rendering over")),
 ]
 
 
@@ -92,7 +94,12 @@ def main(args):
 
     from sinnerf_tpu.data import dataset_dict
     from sinnerf_tpu.data.depth_io import save_pfm
-    from sinnerf_tpu.render.renderer import RenderSettings, render_chunked
+    from sinnerf_tpu.render.renderer import (
+        RenderSettings,
+        pick_val_tile,
+        render_chunked,
+        render_chunked_sharded,
+    )
     from sinnerf_tpu.utils.metrics import psnr
     from sinnerf_tpu.utils.visualization import visualize_depth
 
@@ -122,12 +129,31 @@ def main(args):
     dir_name = f'results/{args.dataset_name}/{args.scene_name}/{args.timestamp}'
     os.makedirs(dir_name, exist_ok=True)
 
+    # multi-chip: shard the ray axis of each image over a data mesh
+    mesh = None
+    n_chips = getattr(args, "num_gpus", 1)
+    if n_chips > 1:
+        import jax
+
+        from sinnerf_tpu.parallel.mesh import make_mesh, replicate
+
+        if len(jax.devices()) >= n_chips:
+            mesh = make_mesh(n_chips)
+            params = replicate(params, mesh)
+        else:
+            print(f"[parallel] requested {n_chips} chips but only "
+                  f"{len(jax.devices())} present; rendering single-chip")
+            n_chips = 1
+    tile = pick_val_tile(w * h, args.chunk, n_chips)
+
     imgs, psnrs = [], []
     for i in range(dataset.val_len()):
         sample = dataset.val_item(i)
-        results = render_chunked(
-            params, jnp.asarray(sample["rays"]), settings, tile=args.chunk
-        )
+        rays = jnp.asarray(sample["rays"])
+        if mesh is not None:
+            results = render_chunked_sharded(params, rays, settings, mesh, tile=tile)
+        else:
+            results = render_chunked(params, rays, settings, tile=tile)
         img_pred = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
         fname = f'{i:03d}'
 

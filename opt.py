@@ -96,6 +96,10 @@ _FLAG_SPEC = [
     ("vgg_weights", dict(type=str, default=None,
                          help="local torchvision VGG16 weights "
                               "(for --loss_type l2_vgg)")),
+    ("allow_random_pretrained", dict(flag=True,
+                                     help="permit random-init ViT/VGG when "
+                                          "no weights path is given (tests "
+                                          "only; the losses become noise)")),
     ("check_val_every_n_epoch", dict(type=int, default=20,
                                      help="validation cadence in epochs")),
     ("ckpt_dir", dict(type=str, default="ckpts")),
@@ -103,6 +107,9 @@ _FLAG_SPEC = [
     ("seed", dict(type=int, default=0)),
     ("num_rays", dict(type=int, default=4096,
                       help="random rays per item (reference hardcodes 4096)")),
+    ("ref_idx", dict(type=int, default=None,
+                     help="reference frame index override (blender scenes "
+                          "outside the built-in table need this)")),
 ]
 
 

@@ -8,9 +8,14 @@ OpenGL->OpenCV w2c conversion run on device, keyed by the step PRNG.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_GL_TO_CV = jnp.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+# Plain numpy on purpose: a module-level jnp.array would initialize the JAX
+# backend at import time (breaking hosts where the platform must be chosen
+# first, e.g. the driver's CPU-forced dryrun); jnp converts it when traced.
+_GL_TO_CV = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]], dtype=np.float32)
 
 
 def _rot_x(phi):

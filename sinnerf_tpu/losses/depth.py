@@ -45,6 +45,38 @@ def smooth_l1_masked(
     return jnp.where(denom > 0, jnp.sum(loss * m) / jnp.maximum(denom, 1.0), 0.0)
 
 
+def smooth_l1_masked_per_item(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    use_mask: bool = True,
+) -> jnp.ndarray:
+    """DDP-exact batch semantics: per-item masked SmoothL1 mean, then mean
+    over the batch axis (axis 0).
+
+    The reference runs ``--batch_size 1`` per DDP rank, computes the masked
+    mean on that rank's single item (``models/sinnerf.py:399-406`` — item
+    ``[0][0]``, with the empty-mask skip at ``:400`` contributing 0), and DDP
+    averages gradients across ranks.  Pooling the mask across a batch>1 (as
+    ``smooth_l1_masked`` does) weights items by their mask counts and diverges
+    from that; this variant reproduces mean-of-per-item-losses exactly, so an
+    N-device data mesh with per-device batch 1 matches N reference DDP ranks.
+    """
+    if mask is None and use_mask:
+        mask = target > 0
+    loss = smooth_l1(pred, target)
+    b = loss.shape[0]
+    loss = loss.reshape(b, -1)
+    if mask is None:
+        return jnp.mean(loss)
+    m = mask.reshape(b, -1).astype(loss.dtype)
+    cnt = jnp.sum(m, axis=1)
+    per_item = jnp.where(
+        cnt > 0, jnp.sum(loss * m, axis=1) / jnp.maximum(cnt, 1.0), 0.0
+    )
+    return jnp.mean(per_item)
+
+
 def inverse_depth_smoothness_loss(
     idepth: jnp.ndarray, image: jnp.ndarray
 ) -> jnp.ndarray:

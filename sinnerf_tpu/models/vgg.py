@@ -14,10 +14,11 @@ import math
 from typing import Any, Dict, List, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 # (out_channels per conv, 'M' = maxpool) — vgg16.features[:23]
 _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
@@ -92,7 +93,6 @@ def make_vgg_features(params: Params):
 def import_torch_vgg_state(state_dict: Dict[str, Any]) -> Params:
     """Convert torchvision ``vgg16().state_dict()`` (or just its ``features``
     sub-dict) into our param list."""
-    import numpy as np
 
     def a(v):
         if hasattr(v, "detach"):

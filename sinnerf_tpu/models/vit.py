@@ -20,6 +20,7 @@ import math
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 EMBED_DIM = 384
@@ -30,8 +31,8 @@ MLP_RATIO = 4
 IMG_SIZE = 224
 N_TOKENS = (IMG_SIZE // PATCH) ** 2 + 1  # 197
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 Params = Dict[str, Any]
 
@@ -161,7 +162,6 @@ def vit_cls_feature(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 def import_torch_vit_state(state_dict: Dict[str, Any]) -> Params:
     """Convert a DINO/timm ViT-S/16 ``state_dict`` to our param pytree.
     Accepts tensors or ndarrays; linear weights transpose to (in, out)."""
-    import numpy as np
 
     def a(key):
         v = state_dict[key]

@@ -266,6 +266,20 @@ def render_rays(
     return result
 
 
+def _render_tiles(
+    params: Dict[str, Params],
+    rays_padded: jnp.ndarray,
+    settings: RenderSettings,
+    tile: int,
+) -> Dict[str, jnp.ndarray]:
+    """lax.map over fixed-size ray tiles; rays_padded must be a tile multiple."""
+    tiles = rays_padded.reshape(-1, tile, 8)
+    out_tiles = jax.lax.map(
+        lambda r: render_rays(params, r, None, settings), tiles
+    )
+    return {k: v.reshape(-1, *v.shape[2:]) for k, v in out_tiles.items()}
+
+
 @partial(jax.jit, static_argnames=("settings", "tile"))
 def render_chunked(
     params: Dict[str, Params],
@@ -283,12 +297,54 @@ def render_chunked(
     n = rays.shape[0]
     n_pad = (-n) % tile
     rays_padded = jnp.pad(rays, ((0, n_pad), (0, 0)), constant_values=1.0)
-    tiles = rays_padded.reshape(-1, tile, 8)
+    out = _render_tiles(params, rays_padded, eval_settings, tile)
+    return {k: v[:n] for k, v in out.items()}
 
-    out_tiles = jax.lax.map(
-        lambda r: render_rays(params, r, None, eval_settings), tiles
+
+@partial(jax.jit, static_argnames=("settings", "tile", "mesh", "axis"))
+def render_chunked_sharded(
+    params: Dict[str, Params],
+    rays: jnp.ndarray,
+    settings: RenderSettings,
+    mesh,
+    tile: int = 32768,
+    axis: str = "data",
+) -> Dict[str, jnp.ndarray]:
+    """``render_chunked`` with the ray axis sharded over a device mesh.
+
+    Rays are embarrassingly parallel (SURVEY.md §5): each device renders its
+    own contiguous slab of ``tile``-sized tiles under ``shard_map`` with no
+    collectives; outputs concatenate along the ray axis.  This is the
+    multi-chip equivalent of the reference's per-rank DDP validation
+    (``datasets/llff.py:170`` val_num).  Params must be replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    eval_settings = settings.eval_mode()
+    n = rays.shape[0]
+    size = mesh.devices.size
+    n_pad = (-n) % (tile * size)
+    rays_padded = jnp.pad(rays, ((0, n_pad), (0, 0)), constant_values=1.0)
+    # check_vma=False: the Pallas MLP kernels carry no varying-mesh-axes
+    # annotations; the body is collective-free so the check adds nothing.
+    fn = jax.shard_map(
+        lambda p, r: _render_tiles(p, r, eval_settings, tile),
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    return {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out_tiles.items()}
+    out = fn(params, rays_padded)
+    return {k: v[:n] for k, v in out.items()}
+
+
+def pick_val_tile(n_rays: int, chunk: int, n_devices: int = 1) -> int:
+    """A static per-run tile for image-sized renders: one compile across all
+    validation images (they share H*W), sized so each device gets whole tiles
+    without gross padding."""
+    per_device = -(-n_rays // n_devices)
+    rounded = -(-per_device // 256) * 256
+    return max(256, min(chunk, rounded))
 
 
 def eval_points(

@@ -28,7 +28,12 @@ from sinnerf_tpu.data import dataset_dict
 from sinnerf_tpu.models.nerf import init_nerf_params
 from sinnerf_tpu.models.discriminator import init_discriminator
 from sinnerf_tpu.models.vit import load_vit_params
-from sinnerf_tpu.render.renderer import RenderSettings, render_chunked
+from sinnerf_tpu.render.renderer import (
+    RenderSettings,
+    pick_val_tile,
+    render_chunked,
+    render_chunked_sharded,
+)
 from sinnerf_tpu.train.checkpoints import (
     TopKCheckpointManager,
     load_checkpoint,
@@ -86,6 +91,21 @@ class SinNeRFTrainer:
             imsize=hparams.patch_size,
         )
 
+        # ---- data-parallel sizing (replaces DDP, train.py:51-52) ----------
+        # DDP semantics: --batch_size is PER-RANK (each reference rank runs
+        # its own DataLoader); the global batch is batch_size * num_gpus.
+        # Sized before the model state because the per-item ViT feature cache
+        # is shaped (global_batch, 384).
+        n_chips = getattr(hparams, "num_gpus", 1)
+        if n_chips > 1 and len(jax.devices()) < n_chips:
+            print(
+                f"[parallel] requested {n_chips} chips but only "
+                f"{len(jax.devices())} present; running single-chip"
+            )
+            n_chips = 1
+        self._n_chips = n_chips
+        self.global_batch_size = hparams.batch_size * n_chips
+
         # ---- models -------------------------------------------------------
         params = {
             "coarse": init_nerf_params(init_keys[0]),
@@ -102,13 +122,35 @@ class SinNeRFTrainer:
             )
             self.opt_d = get_optimizer(hparams, rate=0.2)  # sinnerf.py:208
             opt_d_state = self.opt_d.init(d_params)
+        allow_random = getattr(hparams, "allow_random_pretrained", False)
         vit_params = None
         ref_feature = None
         if hparams.vit_weight > 0:
-            vit_params = load_vit_params(
-                getattr(hparams, "vit_weights", None), init_keys[3]
-            )
-            ref_feature = jnp.zeros((384,))
+            vit_path = getattr(hparams, "vit_weights", None)
+            if not vit_path and not allow_random:
+                raise ValueError(
+                    "--vit_weight > 0 requires --vit_weights <path to DINO "
+                    "ViT-S/16 torch weights>: without them the semantic loss "
+                    "compares against a RANDOM ViT and is pure noise. Pass "
+                    "--allow_random_pretrained to override (tests only)."
+                )
+            vit_params = load_vit_params(vit_path, init_keys[3])
+            # per-item CLS cache: the reference caches per DDP rank
+            # (sinnerf.py:272-275); one row per global-batch item.
+            ref_feature = jnp.zeros((self.global_batch_size, 384))
+        vgg_params = None
+        if "l2_vgg" in (hparams.loss_type, hparams.patch_loss):
+            from sinnerf_tpu.models.vgg import load_vgg_params
+
+            vgg_path = getattr(hparams, "vgg_weights", None)
+            if not vgg_path and not allow_random:
+                raise ValueError(
+                    "--loss_type/--patch_loss l2_vgg requires --vgg_weights "
+                    "<path to torchvision VGG16 weights>: without them the "
+                    "perceptual loss uses a RANDOM VGG. Pass "
+                    "--allow_random_pretrained to override (tests only)."
+                )
+            vgg_params = load_vgg_params(vgg_path, init_keys[3])
 
         self.opt_g = get_optimizer(hparams)
         self.state = TrainState(
@@ -119,30 +161,19 @@ class SinNeRFTrainer:
             opt_d=opt_d_state,
             vit_params=vit_params,
             ref_feature=ref_feature,
+            vgg_params=vgg_params,
             step=jnp.zeros((), jnp.int32),
         )
         self.start_epoch = 0
         if hparams.ckpt_path:  # full resume (train.py:46)
             self._resume(hparams.ckpt_path)
 
-        # ---- data-parallel mesh (replaces DDP, train.py:51-52) ------------
-        # DDP semantics: --batch_size is PER-RANK (each reference rank runs
-        # its own DataLoader); the global batch is batch_size * num_gpus.
         self.mesh = None
-        self.global_batch_size = hparams.batch_size
-        n_chips = getattr(hparams, "num_gpus", 1)
-        if n_chips > 1:
+        if self._n_chips > 1:
             from sinnerf_tpu.parallel.mesh import make_mesh, replicate
 
-            if len(jax.devices()) >= n_chips:
-                self.mesh = make_mesh(n_chips)
-                self.state = TrainState(*replicate(list(self.state), self.mesh))
-                self.global_batch_size = hparams.batch_size * n_chips
-            else:
-                print(
-                    f"[parallel] requested {n_chips} chips but only "
-                    f"{len(jax.devices())} present; running single-chip"
-                )
+            self.mesh = make_mesh(self._n_chips)
+            self.state = replicate(self.state, self.mesh)
 
         # ---- logging / checkpoints ---------------------------------------
         self.ckpt_manager = TopKCheckpointManager(
@@ -174,7 +205,13 @@ class SinNeRFTrainer:
     def _resume(self, path: str) -> None:
         tree = load_checkpoint(path)
         restored = jax.tree_util.tree_map(jnp.asarray, tree["state"])
-        self.state = TrainState(*[restored[f] for f in TrainState._fields])
+        # tolerate checkpoints written before a TrainState field existed
+        self.state = TrainState(
+            **{
+                f: restored[f] if f in restored else getattr(self.state, f)
+                for f in TrainState._fields
+            }
+        )
         self.start_epoch = int(tree.get("epoch", 0))
 
     def _save(self, epoch: int, val_psnr: float) -> None:
@@ -276,14 +313,21 @@ class SinNeRFTrainer:
         n = self.val_dataset.val_len()
         if max_batches is not None:
             n = min(n, max_batches)
+        # static tile: one compile across heterogeneous val image sizes
+        tile = pick_val_tile(w * h, hp.chunk, self._n_chips)
         for i in range(n):
             item = self.val_dataset.val_item(i)
-            results = render_chunked(
-                self.state.params,
-                jnp.asarray(item["rays"]),
-                self.render_settings,
-                tile=min(hp.chunk, item["rays"].shape[0] + (-item["rays"].shape[0]) % 1024),
-            )
+            rays = jnp.asarray(item["rays"])
+            if self.mesh is not None:
+                # mesh-sharded image render (rays split over the data axis)
+                results = render_chunked_sharded(
+                    self.state.params, rays, self.render_settings,
+                    self.mesh, tile=tile,
+                )
+            else:
+                results = render_chunked(
+                    self.state.params, rays, self.render_settings, tile=tile
+                )
             if "rgbs" in item:
                 p = float(
                     psnr_metric(results["rgb_fine"], jnp.asarray(item["rgbs"]))

@@ -14,8 +14,13 @@ its 7 loss families, BUT restructured TPU-first:
   refresh) derives from one step key.
 * Known reference bugs NOT reproduced (documented): the (N,)-vs-(N,1)
   broadcast in the random-ray depth loss (``sinnerf.py:318``) is computed
-  elementwise here; masked/ViT losses average over the whole batch instead of
-  silently using item 0 (identical at the reference's batch_size=1).
+  elementwise here.
+* DDP-exact batch semantics: the reference runs batch_size=1 per DDP rank and
+  averages gradients, so masked depth losses and the ViT CLS loss are
+  computed PER ITEM and then meaned over the batch axis (not pooled) — a
+  global batch of N on an N-device mesh reproduces N reference ranks.  The
+  cached ViT reference feature is correspondingly per-item, shape (B, 384)
+  (``sinnerf.py:272-275`` caches per rank).
 
 Loss schema and weighting mirror ``sinnerf.py:492-509``:
   total = loss_g.tot + dis_weight*loss_d + depth_weight*loss_depth
@@ -36,6 +41,7 @@ import optax
 from sinnerf_tpu.losses.depth import (
     inverse_depth_smoothness_loss,
     smooth_l1_masked,
+    smooth_l1_masked_per_item,
 )
 from sinnerf_tpu.losses.gan import d_loss as gan_d_loss
 from sinnerf_tpu.losses.gan import g_loss as gan_g_loss
@@ -82,7 +88,8 @@ class TrainState(NamedTuple):
     sn_state: Optional[Dict[str, Any]]
     opt_d: Optional[Any]
     vit_params: Optional[Dict[str, Any]]  # frozen
-    ref_feature: Optional[jnp.ndarray]  # cached CLS feature (384,)
+    ref_feature: Optional[jnp.ndarray]  # cached per-item CLS features (B, 384)
+    vgg_params: Optional[Dict[str, Any]]  # frozen (l2_vgg patch loss)
     step: jnp.ndarray
 
 
@@ -111,6 +118,7 @@ def compute_losses(
     key: jax.Array,
     epoch: jnp.ndarray,
     cfg: TrainConfig,
+    vgg_params=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Return (total scalar loss, aux dict with metrics/new sn state)."""
     b, n_rand = batch["rays"].shape[:2]
@@ -120,6 +128,16 @@ def compute_losses(
     keys = jax.random.split(key, 6)
     loss_fn = loss_dict[cfg.loss_type]
     patch_loss_fn = loss_dict[cfg.patch_loss]
+    # depth patches are 1-channel: the VGG perceptual term is inapplicable
+    # there (the reference would crash feeding them to torchvision VGG16), so
+    # only the RGB patch loss gets the bound feature extractor.
+    depth_patch_loss_fn = patch_loss_fn
+    if vgg_params is not None and cfg.patch_loss == "l2_vgg":
+        from sinnerf_tpu.models.vgg import make_vgg_features
+
+        patch_loss_fn = partial(
+            patch_loss_fn, vgg_features=make_vgg_features(vgg_params)
+        )
 
     # ---- single fused render over all 4 bundles ---------------------------
     rays = _flat(batch["rays"], 8)
@@ -170,15 +188,17 @@ def compute_losses(
     # ---- ViT semantic loss on the pseudo view (sinnerf.py:332-338) --------
     if cfg.vit_weight > 0:
         # ref_ is recomputed on the first step and refreshed with prob 0.05
-        # thereafter (sinnerf.py:272-275); state stores it as zeros initially.
-        first = jnp.all(ref_feature == 0)
-        refresh = jax.random.bernoulli(keys[1], cfg.vit_refresh_prob) | first
-        fresh = jax.lax.stop_gradient(
-            jnp.mean(_vit_cls_batch(vit_params, real_patch), axis=0)
-        )
+        # thereafter (sinnerf.py:272-275).  The reference caches it per DDP
+        # rank (= per item at batch_size 1), so the cache is (B, 384) with an
+        # independent refresh coin per item; state stores zeros initially.
+        first = jnp.all(ref_feature == 0, axis=1, keepdims=True)  # (B, 1)
+        coin = jax.random.bernoulli(keys[1], cfg.vit_refresh_prob, (b, 1))
+        refresh = coin | first
+        fresh = jax.lax.stop_gradient(_vit_cls_batch(vit_params, real_patch))
         ref_feat = jnp.where(refresh, fresh, ref_feature)
-        sem_coarse = jnp.mean(_vit_cls_batch(vit_params, side_imgs["rgb_coarse"]), axis=0)
-        sem_fine = jnp.mean(_vit_cls_batch(vit_params, side_imgs["rgb_fine"]), axis=0)
+        sem_coarse = _vit_cls_batch(vit_params, side_imgs["rgb_coarse"])
+        sem_fine = _vit_cls_batch(vit_params, side_imgs["rgb_fine"])
+        # per-item MSE then batch mean == pooled mean (equal feature dims)
         loss_vit = jnp.mean((sem_coarse - ref_feat) ** 2) + jnp.mean(
             (sem_fine - ref_feat) ** 2
         )
@@ -191,14 +211,14 @@ def compute_losses(
     full_depth_fine = results_full["depth_fine"].reshape(b, psx, psy)
     full_depth_coarse = results_full["depth_coarse"].reshape(b, psx, psy)
     if cfg.is_dtu:
-        loss_depth = loss_depth + smooth_l1_masked(
-            full_depth_fine.reshape(-1), depth_gt_img.reshape(-1)
+        loss_depth = loss_depth + smooth_l1_masked_per_item(
+            full_depth_fine.reshape(b, -1), depth_gt_img.reshape(b, -1)
         )
-        loss_depth = loss_depth + smooth_l1_masked(
-            full_depth_coarse.reshape(-1), depth_gt_img.reshape(-1)
+        loss_depth = loss_depth + smooth_l1_masked_per_item(
+            full_depth_coarse.reshape(b, -1), depth_gt_img.reshape(b, -1)
         )
     else:
-        dpatch = patch_loss_fn(
+        dpatch = depth_patch_loss_fn(
             {
                 "rgb_fine": full_depth_fine[:, None],
                 "rgb_coarse": full_depth_coarse[:, None],
@@ -214,12 +234,12 @@ def compute_losses(
     )
 
     if cfg.is_blender:
-        need_zero = depth_gt_img.reshape(-1, 1) == 0
-        loss_depth = loss_depth + 2.0 * smooth_l1_masked(
-            full_depth_coarse.reshape(-1, 1), depth_gt_img.reshape(-1, 1), mask=need_zero
+        need_zero = depth_gt_img.reshape(b, -1) == 0
+        loss_depth = loss_depth + 2.0 * smooth_l1_masked_per_item(
+            full_depth_coarse.reshape(b, -1), depth_gt_img.reshape(b, -1), mask=need_zero
         )
-        loss_depth = loss_depth + 2.0 * smooth_l1_masked(
-            full_depth_fine.reshape(-1, 1), depth_gt_img.reshape(-1, 1), mask=need_zero
+        loss_depth = loss_depth + 2.0 * smooth_l1_masked_per_item(
+            full_depth_fine.reshape(b, -1), depth_gt_img.reshape(b, -1), mask=need_zero
         )
 
     # ---- pseudo-view depth losses (sinnerf.py:389-406) --------------------
@@ -232,9 +252,9 @@ def compute_losses(
     )
     warp_depth = batch["warp_patch_depth"].reshape(b, psx, psy)
     depth_mask = warp_depth > 0
-    loss_side_depth = smooth_l1_masked(
+    loss_side_depth = smooth_l1_masked_per_item(
         side_depth_coarse, warp_depth, mask=depth_mask
-    ) + smooth_l1_masked(side_depth_fine, warp_depth, mask=depth_mask)
+    ) + smooth_l1_masked_per_item(side_depth_fine, warp_depth, mask=depth_mask)
 
     # ---- adversarial losses (sinnerf.py:445-487) --------------------------
     new_sn = sn_state
@@ -336,6 +356,7 @@ def train_step(
             key,
             epoch,
             cfg,
+            vgg_params=state.vgg_params,
         )
 
     if cfg.dis_weight > 0:
@@ -362,6 +383,7 @@ def train_step(
         opt_d=new_opt_d,
         vit_params=state.vit_params,
         ref_feature=aux["ref_feature"],
+        vgg_params=state.vgg_params,
         step=state.step + 1,
     )
     return new_state, {"metrics": aux["metrics"], "images": aux["images"]}

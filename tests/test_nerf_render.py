@@ -298,6 +298,52 @@ def test_points_chunking_matches_unchunked():
     assert sum(float(jnp.abs(v["w"]).sum()) for v in g["fine"].values()) > 0
 
 
+def test_render_chunked_sharded_matches_single_device():
+    """Mesh-sharded image rendering (ray axis over 8 virtual CPU devices)
+    must equal the single-device render exactly; ray count deliberately not a
+    multiple of tile*devices."""
+    from sinnerf_tpu.parallel.mesh import make_mesh, replicate
+    from sinnerf_tpu.render.renderer import render_chunked_sharded
+
+    params = {"coarse": _make_params(50), "fine": _make_params(51)}
+    rng = np.random.default_rng(50)
+    n = 1000
+    rays = np.concatenate(
+        [
+            rng.normal(size=(n, 3)).astype(np.float32),
+            rng.normal(size=(n, 3)).astype(np.float32),
+            np.full((n, 1), 2.0, np.float32),
+            np.full((n, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    settings = RenderSettings(n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0)
+    single = render_chunked(params, jnp.asarray(rays), settings, tile=256)
+    mesh = make_mesh(8)
+    sharded = render_chunked_sharded(
+        replicate(params, mesh), jnp.asarray(rays), settings, mesh, tile=256
+    )
+    for k in single:
+        # atol 1e-5: XLA fuses differently inside shard_map (associativity)
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_pick_val_tile_static():
+    from sinnerf_tpu.render.renderer import pick_val_tile
+
+    # whole image fits: tile rounds the per-device share up to 256
+    assert pick_val_tile(4096, 32768, 1) == 4096
+    assert pick_val_tile(4096, 32768, 8) == 512
+    # chunk caps the tile
+    assert pick_val_tile(504 * 378, 32768, 1) == 32768
+    # never below 256, rounding holds for odd sizes
+    assert pick_val_tile(100, 32768, 8) == 256
+    assert pick_val_tile(190512, 32768, 8) % 256 == 0
+
+
 def test_eval_points_matches_sigma_query():
     """eval_points (point-cloud sigma tool, rendering.py:64-123) equals a
     direct sigma-only MLP query on the fine model."""

@@ -1,0 +1,425 @@
+"""Composed training-step loss parity vs the reference ``training_step``.
+
+Every primitive (MLP, render_rays, sample_pdf, SL1, activations, DiffAugment,
+ViT, GAN losses) already has a component golden test; this file measures the
+7-loss ASSEMBLY of ``/root/reference/models/sinnerf.py:271-509`` end to end:
+identical weights (our params exported into the reference torch NeRF),
+identical batch (one sample from our on-device sampler, fed to both sides),
+deterministic settings (perturb=0, noise_std=0).
+
+pytorch-lightning / kornia / torchvision are not installed in this image, so
+``models/sinnerf.py`` cannot be imported wholesale.  Instead the reference's
+loss assembly is re-executed verbatim in torch here, importing the importable
+reference modules (``models/rendering.py``, ``models/nerf.py``) and inlining
+the two tiny helpers the missing packages provide:
+
+* ``SL1Loss`` (``sinnerf.py:32-42``) — restated exactly, INCLUDING the
+  ``depth_pred[mask]`` semantics where ``mask=None`` unsqueezes, which at
+  ``sinnerf.py:318`` broadcasts (N,) against (N,1) into an (N,N) matrix.
+* kornia ``inverse_depth_smoothness_loss`` — the published formula
+  (edge-weighted absolute depth gradients), restated in torch.
+
+Intentional deviations are measured, not just asserted:
+* our random-ray depth terms are elementwise (the reference's as-executed
+  (N,N) broadcast is also computed and shown to differ),
+* everything else must agree to ~1e-3.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sinnerf_tpu.data.synthetic import make_blender_scene
+from sinnerf_tpu.models.nerf import export_torch_state
+from sinnerf_tpu.train.loop import SinNeRFTrainer
+from sinnerf_tpu.train.step import compute_losses
+from tests.reference_util import import_reference_module
+from tests.test_train import _hparams
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_blender_scene(str(tmp_path_factory.mktemp("scene")), (64, 64))
+
+
+def _deterministic_trainer(scene, tmp, **overrides):
+    hp = _hparams(
+        scene,
+        tmp,
+        perturb=0.0,
+        noise_std=0.0,
+        N_samples=8,
+        N_importance=8,
+        depth_weight=8.0,
+        proj_weight=1.0,
+        depth_smooth_weight=0.5,
+        num_rays=64,
+        patch_size=16,
+        **overrides,
+    )
+    return SinNeRFTrainer(hp)
+
+
+# --------------------------------------------------------------------- torch
+def _torch_models(params):
+    nerf_ref = import_reference_module("models.nerf")
+    import torch
+
+    models = []
+    for name in ("coarse", "fine"):
+        m = nerf_ref.NeRF(use_new_activation=True)
+        state = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_torch_state(params[name]).items()
+        }
+        m.load_state_dict(state, strict=True)
+        m.eval()
+        models.append(m)
+    return models
+
+
+def _ref_forward(models, rays_np, white_back, n_samples=8, n_importance=8):
+    """The reference SinNeRF.forward chunk loop (sinnerf.py:171-193)."""
+    rendering_ref = import_reference_module("models.rendering")
+    nerf_ref = import_reference_module("models.nerf")
+    import torch
+
+    embeddings = [nerf_ref.Embedding(3, 10), nerf_ref.Embedding(3, 4)]
+    out = rendering_ref.render_rays(
+        models,
+        embeddings,
+        torch.from_numpy(rays_np),
+        N_samples=n_samples,
+        use_disp=False,
+        perturb=0,
+        noise_std=0,
+        N_importance=n_importance,
+        chunk=1 << 20,
+        white_back=white_back,
+        test_time=False,
+    )
+    return out
+
+
+def _sl1(pred, gt, mask=None, useMask=True):
+    """SL1Loss verbatim (sinnerf.py:32-42): ``mask=None`` indexes with None
+    (unsqueeze) — reproducing the reference's as-executed broadcasts."""
+    import torch.nn.functional as F
+
+    if mask is None and useMask:
+        mask = gt > 0
+    return F.smooth_l1_loss(pred[mask], gt[mask])
+
+
+def _idsl(idepth, image):
+    """kornia.losses.inverse_depth_smoothness_loss formula in torch."""
+    import torch
+
+    didx = idepth[..., :, :-1] - idepth[..., :, 1:]
+    didy = idepth[..., :-1, :] - idepth[..., 1:, :]
+    imdx = image[..., :, :-1] - image[..., :, 1:]
+    imdy = image[..., :-1, :] - image[..., 1:, :]
+    wx = torch.exp(-torch.mean(torch.abs(imdx), dim=-3, keepdim=True))
+    wy = torch.exp(-torch.mean(torch.abs(imdy), dim=-3, keepdim=True))
+    return torch.mean(torch.abs(didx * wx)) + torch.mean(torch.abs(didy * wy))
+
+
+def _mse_loss_dict(results, targets):
+    """losses.py:12-22 MSELoss."""
+    import torch.nn.functional as F
+
+    loss = F.mse_loss(results["rgb_coarse"], targets)
+    if "rgb_fine" in results:
+        loss = loss + F.mse_loss(results["rgb_fine"], targets)
+    return {"tot": loss, "l2": loss}
+
+
+def _reference_training_step_losses(models, batch_np, white_back, hp):
+    """sinnerf.py:271-509 verbatim for batch_size=1, mse/mse, dis=vit=0.
+
+    Returns every loss family plus the as-executed buggy random-ray depth
+    terms AND their elementwise (fixed) variant so the intentional deviation
+    is quantified.
+    """
+    import torch
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in batch_np.items()}
+    psx, psy = t["real_patch"].shape[-2:]
+
+    rays = t["rays"].reshape(-1, 8)
+    rgbs = t["rgbs"].reshape(-1, 3)
+    depth = t["depth"].reshape(-1, 1)
+    rays_full = t["depth_ray"].reshape(-1, 8)
+    # rearrange 'b (p q) c -> b c p q' (sinnerf.py:283)
+    rgbs_full = t["depth_ray_rgb"].reshape(1, psx, psy, 3).permute(0, 3, 1, 2)
+    rays_side = t["rays_full"].reshape(-1, 8)
+    rays_proj = t["rays_proj"].reshape(-1, 8)
+    depth_proj = t["depth_proj"].reshape(-1, 1).squeeze()
+
+    with torch.no_grad():
+        results = _ref_forward(models, rays.numpy(), white_back,
+                               hp.N_samples, hp.N_importance)
+        results_full = _ref_forward(models, rays_full.numpy(), white_back,
+                                    hp.N_samples, hp.N_importance)
+        results_side = _ref_forward(models, rays_side.numpy(), white_back,
+                                    hp.N_samples, hp.N_importance)
+        results_proj = _ref_forward(models, rays_proj.numpy(), white_back,
+                                    hp.N_samples, hp.N_importance)
+
+        # sinnerf.py:310-313 — proj terms, elementwise shapes
+        loss_depth = _sl1(results_proj["depth_fine"], depth_proj, useMask=False)
+        loss_depth = loss_depth + _sl1(
+            results_proj["depth_coarse"], depth_proj, useMask=False
+        )
+        # sinnerf.py:317 — loss_g on random rays
+        loss_g = _mse_loss_dict(results, rgbs)
+        # sinnerf.py:318-319 — AS EXECUTED: (N,) vs (N,1) broadcast
+        rand_buggy = _sl1(results["depth_fine"], depth, useMask=False) + _sl1(
+            results["depth_coarse"], depth, useMask=False
+        )
+        # elementwise variant (what this repo intentionally computes)
+        d1 = depth.squeeze()
+        rand_fixed = _sl1(results["depth_fine"], d1, useMask=False) + _sl1(
+            results["depth_coarse"], d1, useMask=False
+        )
+
+        # sinnerf.py:348-353 — patch photometric loss added into loss_g
+        rf = {
+            "rgb_coarse": results_full["rgb_coarse"].reshape(1, psx, psy, 3).permute(0, 3, 1, 2),
+            "rgb_fine": results_full["rgb_fine"].reshape(1, psx, psy, 3).permute(0, 3, 1, 2),
+        }
+        rgb_loss = _mse_loss_dict(rf, rgbs_full)
+        for k, v in rgb_loss.items():
+            loss_g[k] = loss_g[k] + v
+
+        # sinnerf.py:354-368 — patch depth supervision (blender branch)
+        depth_gt = t["depth_gt"].reshape(1, psx, psy, 1).permute(0, 3, 1, 2)
+        full_depth_fine = results_full["depth_fine"].reshape(1, 1, psx, psy)
+        full_depth_coarse = results_full["depth_coarse"].reshape(1, 1, psx, psy)
+        loss_depth_patch = _mse_loss_dict(
+            {"rgb_fine": full_depth_fine, "rgb_coarse": full_depth_coarse},
+            depth_gt,
+        )
+        loss_depth = loss_depth + loss_depth_patch["tot"]
+        loss_depth_smooth = _idsl(full_depth_fine, rf["rgb_fine"]) + _idsl(
+            full_depth_coarse, rf["rgb_fine"]
+        )
+        # sinnerf.py:383-387 — blender zero-depth (background) terms
+        need_zero = depth_gt.reshape(-1, 1) == 0
+        loss_depth = loss_depth + 2 * _sl1(
+            full_depth_coarse.reshape(-1, 1), depth_gt.reshape(-1, 1), mask=need_zero
+        )
+        loss_depth = loss_depth + 2 * _sl1(
+            full_depth_fine.reshape(-1, 1), depth_gt.reshape(-1, 1), mask=need_zero
+        )
+        # sinnerf.py:389-406 — pseudo-view smooth + masked side depth
+        side_rgb_fine = results_side["rgb_fine"].reshape(1, psx, psy, 3).permute(0, 3, 1, 2)
+        side_depth_fine = results_side["depth_fine"].reshape(1, 1, psx, psy)
+        side_depth_coarse = results_side["depth_coarse"].reshape(1, 1, psx, psy)
+        loss_depth_smooth = loss_depth_smooth + _idsl(side_depth_coarse, side_rgb_fine)
+        loss_depth_smooth = loss_depth_smooth + _idsl(side_depth_fine, side_rgb_fine)
+        warp_depth = t["warp_patch_depth"].reshape(psx, psy)
+        depth_mask = warp_depth > 0
+        if depth_mask.sum() > 0:
+            loss_side_depth = _sl1(side_depth_coarse[0][0], warp_depth, depth_mask)
+            loss_side_depth = loss_side_depth + _sl1(
+                side_depth_fine[0][0], warp_depth, depth_mask
+            )
+        else:
+            loss_side_depth = torch.zeros(())
+
+    out = {
+        "loss_g": float(loss_g["tot"]),
+        "loss_depth_fixed": float(loss_depth + rand_fixed),
+        "loss_depth_buggy": float(loss_depth + rand_buggy),
+        "loss_depth_smooth": float(loss_depth_smooth),
+        "loss_side_depth": float(loss_side_depth),
+        "side_rgb_coarse": results_side["rgb_coarse"].numpy(),
+        "side_rgb_fine": results_side["rgb_fine"].numpy(),
+    }
+    # sinnerf.py:492-509 totals (load_depth path, no anneal, dis=vit=0)
+    dw = hp.depth_weight
+    out["total_fixed"] = (
+        out["loss_g"]
+        + dw * out["loss_depth_fixed"]
+        + hp.proj_weight * dw * out["loss_side_depth"]
+        + hp.depth_smooth_weight * out["loss_depth_smooth"]
+    )
+    return out
+
+
+def test_composed_training_step_matches_reference(scene, tmp_path):
+    trainer = _deterministic_trainer(scene, str(tmp_path))
+    hp = trainer.hparams
+    batch = trainer.train_dataset.sample(jax.random.key(7), step=0, batch_size=1)
+    batch_np = {k: np.asarray(v) for k, v in batch.items()}
+
+    total, aux = compute_losses(
+        trainer.state.params,
+        None,
+        None,
+        None,
+        None,
+        batch,
+        jax.random.key(11),
+        jnp.asarray(0.0),
+        trainer.cfg,
+    )
+    ours = {k: float(v) for k, v in aux["metrics"].items()}
+
+    models = _torch_models(trainer.state.params)
+    want = _reference_training_step_losses(
+        models, batch_np, trainer.train_dataset.white_back, hp
+    )
+
+    # loss families that must agree with the reference's assembly
+    np.testing.assert_allclose(
+        ours["train/loss_g"], want["loss_g"], rtol=2e-3, atol=1e-4,
+        err_msg="loss_g (photometric random-ray + patch)")
+    np.testing.assert_allclose(
+        ours["train/loss_depth_smooth"], want["loss_depth_smooth"],
+        rtol=2e-3, atol=1e-4, err_msg="loss_depth_smooth")
+    np.testing.assert_allclose(
+        ours["train/loss_side_depth"], want["loss_side_depth"],
+        rtol=2e-3, atol=1e-4, err_msg="loss_side_depth (masked warp SL1)")
+    # depth family: ours == reference with the (N,)-vs-(N,1) broadcast FIXED
+    np.testing.assert_allclose(
+        ours["train/loss_depth"], want["loss_depth_fixed"],
+        rtol=2e-3, atol=1e-4, err_msg="loss_depth (elementwise semantics)")
+    np.testing.assert_allclose(
+        ours["train/loss"], want["total_fixed"], rtol=2e-3, atol=5e-4,
+        err_msg="total loss")
+
+    # the as-executed broadcast variant is finite; on this synthetic scene
+    # the GT depth is constant along rays so broadcast == elementwise — the
+    # divergence itself is quantified on varied depths in
+    # test_reference_broadcast_bug_quantified below
+    assert np.isfinite(want["loss_depth_buggy"])
+
+
+def test_reference_broadcast_bug_quantified():
+    """sinnerf.py:318 as-executed: SmoothL1((N,), (N,1)) broadcasts to (N,N).
+    Quantify that deviation on varied depths, and pin our elementwise
+    semantics to the shape-corrected reference value."""
+    import torch
+
+    from sinnerf_tpu.losses.depth import smooth_l1_masked
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(1.0, 5.0, size=(64,)).astype(np.float32)
+    gt = rng.uniform(1.0, 5.0, size=(64, 1)).astype(np.float32)
+
+    buggy = float(_sl1(torch.from_numpy(pred), torch.from_numpy(gt), useMask=False))
+    fixed = float(
+        _sl1(torch.from_numpy(pred), torch.from_numpy(gt).squeeze(), useMask=False)
+    )
+    ours = float(
+        smooth_l1_masked(jnp.asarray(pred), jnp.asarray(gt[:, 0]), use_mask=False)
+    )
+    np.testing.assert_allclose(ours, fixed, rtol=1e-5)
+    assert abs(buggy - fixed) > 1e-2, (
+        f"broadcast deviation vanished unexpectedly: {buggy} vs {fixed}"
+    )
+
+
+def test_composed_vit_term_matches_reference_composition(scene, tmp_path):
+    """The ViT branch of the composed step: the loss must be the CLS-feature
+    MSE between the reference-rendered side images and the cached real-patch
+    feature (sinnerf.py:272-275, 332-338).  The ViT forward itself is golden-
+    tested against torch in test_gan_vit; here we verify WHAT is fed to it and
+    how the cache/refresh composition works, using the same (random) ViT
+    params on both sides."""
+    trainer = _deterministic_trainer(scene, str(tmp_path), vit_weight=10.0)
+    batch = trainer.train_dataset.sample(jax.random.key(3), step=0, batch_size=1)
+
+    total, aux = compute_losses(
+        trainer.state.params,
+        None,
+        None,
+        trainer.state.vit_params,
+        trainer.state.ref_feature,  # zeros -> first-step refresh
+        batch,
+        jax.random.key(5),
+        jnp.asarray(0.0),
+        trainer.cfg,
+    )
+    ours = float(aux["metrics"]["train/loss_vit"])
+
+    # reference-side composition: render side view with torch, then apply the
+    # (already golden-tested) ViT to the same inputs the reference would
+    from sinnerf_tpu.models.vit import vit_preprocess, vit_tokens
+
+    models = _torch_models(trainer.state.params)
+    psx, psy = np.asarray(batch["real_patch"]).shape[-2:]
+    side = _ref_forward(
+        models, np.asarray(batch["rays_full"]).reshape(-1, 8),
+        trainer.train_dataset.white_back,
+        trainer.hparams.N_samples, trainer.hparams.N_importance,
+    )
+
+    def cls_feat(img_flat):
+        img = jnp.asarray(img_flat.detach().numpy()).reshape(1, psx, psy, 3)
+        img = img.transpose(0, 3, 1, 2)
+        return vit_tokens(trainer.state.vit_params, vit_preprocess(img))[-1][:, 0, :]
+
+    real = jnp.asarray(batch["real_patch"])
+    ref_feat = vit_tokens(trainer.state.vit_params, vit_preprocess(real))[-1][:, 0, :]
+    sem_c = cls_feat(side["rgb_coarse"])
+    sem_f = cls_feat(side["rgb_fine"])
+    want = float(jnp.mean((sem_c - ref_feat) ** 2) + jnp.mean((sem_f - ref_feat) ** 2))
+    np.testing.assert_allclose(ours, want, rtol=5e-3, atol=1e-4)
+    # the cache must now hold the real-patch feature (first-step refresh)
+    np.testing.assert_allclose(
+        np.asarray(aux["ref_feature"]), np.asarray(ref_feat), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_batch_grads_equal_mean_of_per_item_grads(scene, tmp_path):
+    """DDP-exact batch semantics: grads of the global-batch-4 loss must equal
+    the mean of the 4 single-item grads (the reference's num_gpus=4
+    --batch_size 1 DDP configuration).  Deterministic settings; the ViT loss
+    and every masked depth loss exercise the per-item paths."""
+    trainer = _deterministic_trainer(scene, str(tmp_path), vit_weight=1.0,
+                                     batch_size=4)
+    b = 4
+    batch = trainer.train_dataset.sample(jax.random.key(9), step=0, batch_size=b)
+    key = jax.random.key(13)
+    ref_feature = trainer.state.ref_feature  # (4, 384) zeros -> all refresh
+
+    def loss_batch(params):
+        return compute_losses(
+            params, None, None, trainer.state.vit_params, ref_feature,
+            batch, key, jnp.asarray(0.0), trainer.cfg,
+        )[0]
+
+    g_batch = jax.grad(loss_batch)(trainer.state.params)
+
+    def item_grads(i):
+        item = jax.tree_util.tree_map(lambda x: x[i : i + 1], batch)
+
+        def loss_item(params):
+            return compute_losses(
+                params, None, None, trainer.state.vit_params,
+                ref_feature[i : i + 1], item, key, jnp.asarray(0.0),
+                trainer.cfg,
+            )[0]
+
+        return jax.grad(loss_item)(trainer.state.params)
+
+    gs = [item_grads(i) for i in range(b)]
+    g_mean = jax.tree_util.tree_map(lambda *x: sum(x) / b, *gs)
+
+    flat_b, _ = jax.flatten_util.ravel_pytree(g_batch)
+    flat_m, _ = jax.flatten_util.ravel_pytree(g_mean)
+    np.testing.assert_allclose(
+        np.asarray(flat_b), np.asarray(flat_m), rtol=1e-4, atol=1e-6,
+        err_msg="batch-4 grads != mean of 4 per-item grads (DDP semantics)",
+    )

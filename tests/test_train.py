@@ -73,6 +73,7 @@ def _hparams(root, tmp, **overrides):
         mlp_impl="xla",
         vit_weights=None,
         vgg_weights=None,
+        allow_random_pretrained=True,
         check_val_every_n_epoch=1,
         ckpt_dir=os.path.join(tmp, "ckpts"),
         log_dir=os.path.join(tmp, "logs"),
@@ -230,6 +231,9 @@ def test_trainer_data_parallel_mesh(blender_root, tmp_path):
     # params stay replicated after the update
     w = trainer.state.params["coarse"]["sigma"]["w"]
     assert w.sharding.is_fully_replicated
+    # validation renders through the mesh-sharded path (render_chunked_sharded)
+    val_psnr = trainer.validate(0, max_batches=1, log=False)
+    assert np.isfinite(val_psnr) and val_psnr > 0
 
 
 def test_fit_runs_epochs_with_val_and_checkpoint(blender_root, tmp_path):
