@@ -92,6 +92,91 @@ def bench_renderer(mlp_impl: str, compute_dtype: str, n_iters: int = 30):
     return N_RAYS * samples_per_ray / dt
 
 
+def bench_train_step(mlp_impl: str, compute_dtype: str, n_iters: int = 20):
+    """Full jitted train_step steps/sec at the lego Step-1 scale: 4 bundles x
+    4096 rays x (64+128) samples = 16,384 rays / 3.1M MLP evals per forward
+    set (SURVEY.md §3.4), with the depth + side-depth + smoothness losses and
+    the Adam update (fwd+bwd).  The batch is synthetic — shapes are what the
+    sampler produces (tests/test_datasets schema); contents don't affect
+    throughput."""
+    import argparse
+
+    from sinnerf_tpu.models.nerf import init_nerf_params
+    from sinnerf_tpu.render.renderer import RenderSettings
+    from sinnerf_tpu.train.optimizers import get_optimizer
+    from sinnerf_tpu.train.step import TrainConfig, TrainState, train_step
+
+    n_rays, ps = 4096, 64
+    rng = np.random.default_rng(0)
+
+    def rays(n):
+        return np.asarray(make_rays(n)).reshape(1, n, 8)
+
+    def pos(*shape):
+        return rng.uniform(2.0, 6.0, size=shape).astype(np.float32)
+
+    batch = {
+        "rays": rays(n_rays),
+        "rgbs": rng.uniform(size=(1, n_rays, 3)).astype(np.float32),
+        "depth": pos(1, n_rays, 1),
+        "rays_proj": rays(n_rays),
+        "depth_proj": pos(1, n_rays, 1),
+        "real_patch": rng.uniform(size=(1, 3, ps, ps)).astype(np.float32),
+        "rays_full": rays(ps * ps),
+        "warp_patch": rng.uniform(size=(1, 3, ps, ps)).astype(np.float32),
+        "warp_patch_depth": (pos(1, ps * ps, 1) * (rng.uniform(size=(1, ps * ps, 1)) > 0.5)).astype(np.float32),
+        "depth_ray": rays(ps * ps),
+        "depth_gt": pos(1, ps * ps, 1),
+        "depth_ray_rgb": rng.uniform(size=(1, ps * ps, 3)).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    settings = RenderSettings(
+        n_samples=64, n_importance=128, perturb=1.0, noise_std=1.0,
+        white_back=True, compute_dtype=compute_dtype, mlp_impl=mlp_impl,
+    )
+    cfg = TrainConfig(
+        render=settings, depth_weight=8.0, proj_weight=1.0,
+        depth_smooth_weight=0.5, vit_weight=0.0, dis_weight=0.0,
+        imsize=ps,
+    )
+    hp = argparse.Namespace(
+        optimizer="adam", lr=2e-4, momentum=0.9, weight_decay=0.0,
+        warmup_epochs=0, warmup_multiplier=1.0,
+    )
+    opt_g = get_optimizer(hp)
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0)),
+        "fine": init_nerf_params(jax.random.key(1)),
+    }
+    state = TrainState(
+        params=params, opt_g=opt_g.init(params), d_params=None, sn_state=None,
+        opt_d=None, vit_params=None, ref_feature=None, vgg_params=None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    epoch = jnp.asarray(0.0)
+
+    def run(state, iters):
+        out = None
+        for i in range(iters):
+            state, out = train_step(
+                state, batch, jax.random.key(i), epoch, cfg, opt_g, None
+            )
+        # one scalar fetch at the end syncs the whole chained queue (the axon
+        # tunnel's block_until_ready does not)
+        float(out["metrics"]["train/loss"])
+        return state
+
+    state = run(state, 2)  # compile + warmup
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run(state, n_iters)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n_iters / best
+
+
 def main():
     # Cold Mosaic compiles through the tunnel cost ~10 min; with the
     # persistent cache warm this whole script takes seconds.  Budget guards
@@ -112,17 +197,31 @@ def main():
     valid = {k: v for k, v in results.items() if v}
     best_key = max(valid, key=valid.get)
     best = valid[best_key]
-    print(
-        json.dumps(
-            {
-                "metric": f"coarse+fine ray samples/sec/chip ({best_key}, "
-                f"{N_RAYS} rays x {N_SAMPLES}+{N_SAMPLES + N_IMPORTANCE} samples)",
-                "value": round(best, 0),
-                "unit": "ray_samples/sec",
-                "vs_baseline": round(best / BASELINE_RAY_SAMPLES_PER_SEC, 2),
-            }
+
+    # training throughput at the lego Step-1 shape (second metric, same line)
+    train_steps = None
+    train_key = best_key
+    if time.perf_counter() - t_start < budget:
+        try:
+            impl, dtype = best_key.split("/")
+            train_steps = bench_train_step(impl, dtype)
+        except Exception:
+            train_steps = None
+
+    line = {
+        "metric": f"coarse+fine ray samples/sec/chip ({best_key}, "
+        f"{N_RAYS} rays x {N_SAMPLES}+{N_SAMPLES + N_IMPORTANCE} samples)",
+        "value": round(best, 0),
+        "unit": "ray_samples/sec",
+        "vs_baseline": round(best / BASELINE_RAY_SAMPLES_PER_SEC, 2),
+    }
+    if train_steps is not None:
+        line["train_step_metric"] = (
+            f"train_step steps/sec ({train_key}, 16384 rays x 64+192 "
+            "samples, depth+side+smooth losses, fwd+bwd+adam)"
         )
-    )
+        line["train_steps_per_sec"] = round(train_steps, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

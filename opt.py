@@ -110,6 +110,10 @@ _FLAG_SPEC = [
     ("ref_idx", dict(type=int, default=None,
                      help="reference frame index override (blender scenes "
                           "outside the built-in table need this)")),
+    ("profile", dict(flag=True,
+                     help="capture a jax.profiler trace of the fit into "
+                          "log_dir (reference enables a profiler on "
+                          "single-GPU runs, train.py:59)")),
 ]
 
 

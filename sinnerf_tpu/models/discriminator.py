@@ -97,6 +97,53 @@ def init_discriminator(
     return params, sn_state
 
 
+def import_torch_discriminator_state(
+    state_dict: Dict[str, Any], prefix: str = ""
+) -> Tuple[Params, Params]:
+    """Convert the reference ``Discriminator`` torch state into
+    ``(params, sn_state)``.
+
+    torch ``spectral_norm`` stores each conv as ``main.<i>.weight_orig`` plus
+    the power-iteration buffers ``weight_u``/``weight_v``
+    (``/root/reference/models/discriminator.py:57-171``); InstanceNorm has no
+    parameters.  Layout is OIHW on both sides.  ``prefix`` strips a ckpt
+    namespace like ``"D."``.
+    """
+    import numpy as np
+
+    state = {
+        k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
+    }
+
+    def grab(group: str):
+        idxs = sorted(
+            int(k.split(".")[1])
+            for k in state
+            if k.startswith(group + ".") and k.endswith(".weight_orig")
+        )
+        convs, us = [], []
+        for i in idxs:
+            # copy=True: torch state_dict tensors share memory with the live
+            # module, and spectral norm mutates u IN PLACE on every train
+            # forward — a zero-copy jnp view would silently change under us
+            w = np.array(state[f"{group}.{i}.weight_orig"], copy=True)
+            u = np.array(state[f"{group}.{i}.weight_u"], copy=True)
+            convs.append({"w": jnp.asarray(w)})
+            us.append({"u": jnp.asarray(u)})
+        return convs, us
+
+    convs, us = grab("main")
+    if not convs:
+        raise KeyError("no main.<i>.weight_orig keys found in state_dict")
+    params: Params = {"convs": convs}
+    sn_state: Params = {"convs": us}
+    head, head_u = grab("final")
+    if head:
+        params["head"] = head
+        sn_state["head"] = head_u
+    return params, sn_state
+
+
 def _spectral_norm(
     w: jnp.ndarray, u: jnp.ndarray, update: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

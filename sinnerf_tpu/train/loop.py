@@ -234,6 +234,19 @@ class SinNeRFTrainer:
         )
 
     def fit(self, max_epochs: Optional[int] = None) -> float:
+        """Reference train.py enables a profiler on single-GPU runs
+        (train.py:59); here --profile captures a jax.profiler trace of the
+        whole fit into the log dir (view with TensorBoard's profile plugin)."""
+        if getattr(self.hparams, "profile", False):
+            from sinnerf_tpu.utils.profiling import trace
+
+            with trace(
+                os.path.join(self.hparams.log_dir, self.hparams.exp_name)
+            ):
+                return self._fit(max_epochs)
+        return self._fit(max_epochs)
+
+    def _fit(self, max_epochs: Optional[int] = None) -> float:
         hp = self.hparams
         max_epochs = max_epochs or hp.num_epochs
         best_psnr = -1.0
@@ -294,14 +307,30 @@ class SinNeRFTrainer:
             self.writer.add_scalar(k, float(v), step)
 
     def _log_images(self, images: Dict[str, Any], step: int):
+        """Tag-for-tag parity with sinnerf.py:413-444: 'train/images' is
+        [real, coarse, fine]; 'train/images_side' is the white-filled warp
+        patch + coarse/fine renders + 3 jet depth maps."""
         if not self.writer:
             return
-        real = np.asarray(images["real_patch"][0])
-        fine_full = np.asarray(images["rgb_fine_full"][0])
-        fine_side = np.asarray(images["rgb_fine_side"][0])
-        depth_side = visualize_depth(np.asarray(images["depth_fine_side"][0]))
-        stack = np.stack([real, fine_full, fine_side, depth_side])
+        stack = np.stack(
+            [
+                np.asarray(images["real_patch"][0]),
+                np.asarray(images["rgb_coarse_full"][0]),
+                np.asarray(images["rgb_fine_full"][0]),
+            ]
+        )
         self.writer.add_images("train/images", np.clip(stack, 0, 1), step)
+        side = np.stack(
+            [
+                np.asarray(images["side_rgb"][0]),
+                np.asarray(images["rgb_coarse_side"][0]),
+                np.asarray(images["rgb_fine_side"][0]),
+                visualize_depth(np.asarray(images["depth_coarse_side"][0])),
+                visualize_depth(np.asarray(images["depth_fine_side"][0])),
+                visualize_depth(np.asarray(images["warp_depth"][0])),
+            ]
+        )
+        self.writer.add_images("train/images_side", np.clip(side, 0, 1), step)
 
     # ----------------------------------------------------------------- val
     def validate(

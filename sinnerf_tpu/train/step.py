@@ -226,12 +226,20 @@ def compute_losses(
             depth_gt_img[:, None],
         )
         loss_depth = loss_depth + dpatch["tot"]
+        # every-10-step scalars at sinnerf.py:375-381 (tag parity); emitted
+        # each step here — the host loop decides the logging cadence
+        depth_patch_metrics = {"train/depth_l2": dpatch["l2"]}
+        if "ssim" in dpatch:
+            depth_patch_metrics["train/depth_ssim"] = dpatch["ssim"]
 
     loss_depth_smooth = inverse_depth_smoothness_loss(
         full_depth_fine[:, None], full_imgs["rgb_fine"]
     ) + inverse_depth_smoothness_loss(
         full_depth_coarse[:, None], full_imgs["rgb_fine"]
     )
+
+    if cfg.is_dtu:
+        depth_patch_metrics = {}
 
     if cfg.is_blender:
         need_zero = depth_gt_img.reshape(b, -1) == 0
@@ -307,27 +315,41 @@ def compute_losses(
     )
 
     psnr_ = psnr(results["rgb_fine"], rgbs)
+    metrics = {
+        "train/loss": total,
+        "train/loss_g": loss_g["tot"],
+        "train/loss_vit": loss_vit,
+        "train/loss_d": loss_d_d,
+        "train/loss_g_adv": loss_d_g,
+        "train/loss_depth": loss_depth,
+        "train/loss_depth_smooth": loss_depth_smooth,
+        "train/loss_side_depth": loss_side_depth,
+        "train/psnr": psnr_,
+        "train/depth_min": jnp.min(results_full["depth_fine"]),
+        "train/depth_max": jnp.max(results_full["depth_fine"]),
+        **depth_patch_metrics,
+    }
+    if "ssim" in loss_g:  # sinnerf.py:379-381
+        metrics["train/ssim"] = loss_g["ssim"]
+
+    # white-filled warp patch for the side image stack (sinnerf.py:303-305)
+    warp_mask = jnp.sum(batch["warp_patch"], axis=1, keepdims=True) > 0
+    side_rgb = jnp.where(warp_mask, batch["warp_patch"], 1.0)
+
     aux = {
-        "metrics": {
-            "train/loss": total,
-            "train/loss_g": loss_g["tot"],
-            "train/loss_vit": loss_vit,
-            "train/loss_d": loss_d_d,
-            "train/loss_g_adv": loss_d_g,
-            "train/loss_depth": loss_depth,
-            "train/loss_depth_smooth": loss_depth_smooth,
-            "train/loss_side_depth": loss_side_depth,
-            "train/psnr": psnr_,
-            "train/depth_min": jnp.min(results_full["depth_fine"]),
-            "train/depth_max": jnp.max(results_full["depth_fine"]),
-        },
+        "metrics": metrics,
         "sn_state": new_sn,
         "ref_feature": ref_feat,
         "images": {
             "real_patch": real_patch,
+            "rgb_coarse_full": full_imgs["rgb_coarse"],
             "rgb_fine_full": full_imgs["rgb_fine"],
+            "side_rgb": side_rgb,
+            "rgb_coarse_side": side_imgs["rgb_coarse"],
             "rgb_fine_side": side_imgs["rgb_fine"],
+            "depth_coarse_side": side_depth_coarse,
             "depth_fine_side": side_depth_fine,
+            "warp_depth": warp_depth,
         },
     }
     return total, aux

@@ -423,3 +423,69 @@ def test_batch_grads_equal_mean_of_per_item_grads(scene, tmp_path):
         np.asarray(flat_b), np.asarray(flat_m), rtol=1e-4, atol=1e-6,
         err_msg="batch-4 grads != mean of 4 per-item grads (DDP semantics)",
     )
+
+
+def test_composed_gan_terms_match_reference(scene, tmp_path):
+    """The adversarial branch of the composed step with IDENTICAL imported D
+    weights: our single-render G/D assembly must reproduce the reference's
+    dual-optimizer hinge terms (sinnerf.py:445-487) — G sees -mean(D(fake)),
+    D sees hinge(real)/hinge(fake.detach()), with the spectral-norm power
+    iteration advancing in the same call order (fake_g, real, fake_d).
+    DiffAugment disabled deterministically on both sides."""
+    import dataclasses
+
+    import torch
+
+    from sinnerf_tpu.models.discriminator import import_torch_discriminator_state
+
+    disc_ref = import_reference_module("models.discriminator")
+
+    trainer = _deterministic_trainer(scene, str(tmp_path), dis_weight=0.01)
+    cfg = dataclasses.replace(trainer.cfg, policy="")
+    batch = trainer.train_dataset.sample(jax.random.key(21), step=0, batch_size=1)
+    psx, psy = np.asarray(batch["real_patch"]).shape[-2:]
+
+    torch.manual_seed(1)
+    d_model = disc_ref.Discriminator(
+        conditional=False, policy=None, ndf=64, imsize=trainer.hparams.patch_size
+    )
+    d_model.train()
+    d_params, sn = import_torch_discriminator_state(
+        {k: v.detach().numpy() for k, v in d_model.state_dict().items()}
+    )
+
+    total, aux = compute_losses(
+        trainer.state.params,
+        d_params,
+        sn,
+        None,
+        None,
+        batch,
+        jax.random.key(22),
+        jnp.asarray(0.0),
+        cfg,
+    )
+    ours_g_adv = float(aux["metrics"]["train/loss_g_adv"])
+    ours_d = float(aux["metrics"]["train/loss_d"])
+
+    # reference side: torch-render the side view, then the two training_step
+    # passes (optimizer_idx 0 then 1), each D call advancing the SN state
+    models = _torch_models(trainer.state.params)
+    with torch.no_grad():
+        side = _ref_forward(
+            models, np.asarray(batch["rays_full"]).reshape(-1, 8),
+            trainer.train_dataset.white_back,
+            trainer.hparams.N_samples, trainer.hparams.N_importance,
+        )
+        fake = side["rgb_fine"].reshape(1, psx, psy, 3).permute(0, 3, 1, 2)
+        real = torch.from_numpy(np.asarray(batch["real_patch"]))
+        pred_fake_g = d_model(fake)            # optimizer_idx==0 (sinnerf.py:446)
+        want_g_adv = float(-torch.mean(pred_fake_g))
+        pred_real = d_model(real)              # optimizer_idx==1 (sinnerf.py:464)
+        pred_fake_d = d_model(fake)            # .detach() irrelevant in no_grad
+        loss_dreal = torch.relu(1.0 - pred_real).mean()
+        loss_dgen = torch.relu(1.0 + pred_fake_d).mean()
+        want_d = float((loss_dreal + loss_dgen) / 2)
+
+    np.testing.assert_allclose(ours_g_adv, want_g_adv, rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(ours_d, want_d, rtol=5e-3, atol=1e-3)

@@ -236,6 +236,52 @@ def test_trainer_data_parallel_mesh(blender_root, tmp_path):
     assert np.isfinite(val_psnr) and val_psnr > 0
 
 
+def test_llff_train_step_end_to_end(tmp_path):
+    """Composed train_step on the LLFF proj dataset family: losses finite,
+    params update (the non-blender, non-DTU loss branch)."""
+    from sinnerf_tpu.data.synthetic import make_llff_scene
+
+    root = make_llff_scene(str(tmp_path / "llff"), (64, 48))
+    hp = _hparams(
+        root, str(tmp_path),
+        dataset_name="llff_ray_patch_1image_proj",
+        img_wh=[64, 48], patch_size=-1, patch_size_x=16, patch_size_y=16,
+        sW=2, sH=2, dis_weight=0.01,
+    )
+    trainer = SinNeRFTrainer(hp)
+    assert not trainer.cfg.is_dtu and not trainer.cfg.is_blender
+    w0 = np.asarray(trainer.state.params["fine"]["sigma"]["w"]).copy()
+    metrics = _run_steps(trainer, 2)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.allclose(w0, np.asarray(trainer.state.params["fine"]["sigma"]["w"]))
+    # validation renders an LLFF pose
+    assert np.isfinite(trainer.validate(0, max_batches=1, log=False))
+
+
+def test_dtu_train_step_end_to_end(tmp_path):
+    """Composed train_step on DTU: exercises the cfg.is_dtu masked patch-depth
+    branch (train/step.py) that no other suite path reaches."""
+    from sinnerf_tpu.data.synthetic import make_dtu_scene
+
+    root = make_dtu_scene(str(tmp_path / "dtu"), (64, 64))
+    hp = _hparams(
+        root, str(tmp_path),
+        dataset_name="dtu_proj",
+        img_wh=[64, 64], patch_size=-1, patch_size_x=16, patch_size_y=16,
+        sW=2, sH=2,
+    )
+    trainer = SinNeRFTrainer(hp)
+    assert trainer.cfg.is_dtu
+    w0 = np.asarray(trainer.state.params["fine"]["sigma"]["w"]).copy()
+    metrics = _run_steps(trainer, 2)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(metrics["train/loss_depth"]) > 0
+    assert not np.allclose(w0, np.asarray(trainer.state.params["fine"]["sigma"]["w"]))
+    assert np.isfinite(trainer.validate(0, max_batches=1, log=False))
+
+
 def test_fit_runs_epochs_with_val_and_checkpoint(blender_root, tmp_path):
     """fit() end-to-end: sanity val, epoch loop with lr schedule, periodic
     validation, top-k checkpointing."""
@@ -253,6 +299,39 @@ def test_fit_runs_epochs_with_val_and_checkpoint(blender_root, tmp_path):
     # top-k checkpoint for the best epoch exists as well
     assert any(name.startswith("epoch_") for name in os.listdir(ckpt_dir))
     assert int(trainer.state.step) == 4  # 2 epochs x 2 steps
+
+
+class _RecordingWriter:
+    def __init__(self):
+        self.scalars, self.images = set(), set()
+
+    def add_scalar(self, tag, *a, **k):
+        self.scalars.add(tag)
+
+    def add_images(self, tag, *a, **k):
+        self.images.add(tag)
+
+
+def test_logging_tag_parity(blender_root, tmp_path):
+    """TensorBoard tags match the reference's (sinnerf.py:413-444,510-516,
+    375-381): scalar losses, every-10-step image stacks incl. the side stack
+    with the white-filled warp patch, and val/psnr + val/GT_pred_depth."""
+    hp = _hparams(blender_root, str(tmp_path), num_epochs=1, num_rays=32)
+    trainer = SinNeRFTrainer(hp)
+    trainer.writer = _RecordingWriter()
+    trainer.train_dataset.length = 10  # step 10 hits the %10 logging cadence
+    trainer.fit()
+    want_scalars = {
+        "lr", "train/loss", "train/loss_g", "train/loss_vit", "train/loss_d",
+        "train/loss_depth", "train/loss_depth_smooth", "train/loss_side_depth",
+        "train/psnr", "train/depth_min", "train/depth_max", "train/depth_l2",
+        "train/epoch_time", "val/psnr",
+    }
+    missing = want_scalars - trainer.writer.scalars
+    assert not missing, f"missing scalar tags: {missing}"
+    want_images = {"train/images", "train/images_side", "val/GT_pred_depth"}
+    missing_img = want_images - trainer.writer.images
+    assert not missing_img, f"missing image tags: {missing_img}"
 
 
 def test_train_cli_main(blender_root, tmp_path, monkeypatch):
