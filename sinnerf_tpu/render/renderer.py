@@ -139,7 +139,13 @@ def _query_t(
         return fn(model_params, xyz_pe_t, d_pe_t)
 
     chunk = settings.points_chunk
-    if n_pts <= chunk:
+    if settings.mlp_impl == "pallas" or n_pts <= chunk:
+        # The Pallas path never chunks: its VMEM footprint is fixed by the
+        # kernel tile regardless of N (activations live in-kernel, the VJP
+        # recomputes in-kernel), and point counts that aren't a chunk
+        # multiple would pad to one — at the train shape (3.1M fine points
+        # vs the 2M chunk) that wasted 33% of the fine pass and 100% of the
+        # coarse pass.  Chunking exists solely for the XLA fallback's remat.
         out = apply_chunk((xyz_t, dir_t))
     else:
         pad = (-n_pts) % chunk
