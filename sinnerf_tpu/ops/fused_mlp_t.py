@@ -181,18 +181,21 @@ def _pe_bwd(sins, coss, dpe: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _kernel_t(x_ref, *refs, use_new_activation: bool, sigma_only: bool, cdtype: str):
+def mlp_from_pe(weight_refs, x, d_in, use_new_activation: bool, sigma_only: bool):
+    """The 13-layer NeRF MLP on already-encoded inputs; shared by the
+    per-point kernel here and the per-ray fused render kernel
+    (``ops/fused_render_t.py``).
+
+    weight_refs: the 26 packed operand refs (pack_weights_t order).
+    x: (64, T) PE'd xyz in the compute dtype; d_in: (32, T) PE'd dir or None.
+    Returns (rgb8 (8, T) f32 rows 0:3 real, sigma8 (8, T) f32 row 0 real);
+    rgb8 is None when sigma_only.
+    """
     (
         w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
         b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
-        out_ref,
-    ) = refs
-
-    cd = jnp.bfloat16 if cdtype == "bfloat16" else jnp.float32
-    xin = x_ref[:]  # (8, T) f32
-    sx, cx = _pe_fwd(xin[0:3], N_FREQS_XYZ)
-    x = _pe_concat(xin[0:3], sx, cx, XYZ_PAD - XYZ_CH, cd)  # (64, T)
-
+    ) = weight_refs
+    cd = x.dtype
     act = jax.nn.relu
 
     def dot(a_ref, b_val):
@@ -210,18 +213,34 @@ def _kernel_t(x_ref, *refs, use_new_activation: bool, sigma_only: bool, cdtype: 
     # head epilogues stay f32: Mosaic cannot legalize bf16 log1p/tanh chains,
     # and these are a small share of the VPU work
     sigma = dot(wsig, h) + bsig[:]  # (8, T); row 0 real, rest zero
-
     if sigma_only:
-        out_ref[:] = sigma.astype(out_ref.dtype)  # sigma in row 0
-        return
+        return None, sigma
 
     f = (dot(wfin, h) + bfin[:]).astype(cd)
-    sd, cdir = _pe_fwd(xin[3:6], N_FREQS_DIR)
-    d_in = _pe_concat(xin[3:6], sd, cdir, DIR_PAD - DIR_CH, cd)  # (32, T)
     a_d = dot(wdh, f) + dot(wdx, d_in) + bd[:]
     d = (shifted_softplus(a_d) if use_new_activation else act(a_d)).astype(cd)
     rgb = dot(wrgb, d) + brgb[:]  # (8, T); rows 0:3 real
     rgb = widened_sigmoid(rgb) if use_new_activation else jax.nn.sigmoid(rgb)
+    return rgb, sigma
+
+
+def _kernel_t(x_ref, *refs, use_new_activation: bool, sigma_only: bool, cdtype: str):
+    weight_refs = refs[:26]
+    out_ref = refs[26]
+
+    cd = jnp.bfloat16 if cdtype == "bfloat16" else jnp.float32
+    xin = x_ref[:]  # (8, T) f32
+    sx, cx = _pe_fwd(xin[0:3], N_FREQS_XYZ)
+    x = _pe_concat(xin[0:3], sx, cx, XYZ_PAD - XYZ_CH, cd)  # (64, T)
+
+    if sigma_only:
+        _, sigma = mlp_from_pe(weight_refs, x, None, use_new_activation, True)
+        out_ref[:] = sigma.astype(out_ref.dtype)  # sigma in row 0
+        return
+
+    sd, cdir = _pe_fwd(xin[3:6], N_FREQS_DIR)
+    d_in = _pe_concat(xin[3:6], sd, cdir, DIR_PAD - DIR_CH, cd)  # (32, T)
+    rgb, sigma = mlp_from_pe(weight_refs, x, d_in, use_new_activation, False)
     t = x_ref.shape[1]
     out_ref[:] = jnp.concatenate(
         [rgb[0:3], sigma[0:1], jnp.zeros((OUT_PAD - 4, t), jnp.float32)], axis=0

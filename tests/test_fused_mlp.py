@@ -211,3 +211,38 @@ def test_row_major_blocked_pe_layout():
         pe_layout="blocked",
     )
     np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------- fused render kernel
+def test_fused_render_level_matches_composite():
+    """The per-ray fused render kernel (PE + MLP + online compositing) equals
+    query+composite_t, including white background, a ray count that is not a
+    tile multiple, and a sample count that is not a sublane multiple."""
+    from sinnerf_tpu.core.composite import composite_t
+    from sinnerf_tpu.core.sampling import stratified_z_vals
+    from sinnerf_tpu.ops.fused_render_t import fused_render_level
+    from sinnerf_tpu.render.renderer import RenderSettings, _query_t
+
+    params = init_nerf_params(jax.random.key(21))
+    rng = np.random.default_rng(21)
+    n, s = 111, 12  # n % R_TILE != 0, s % 8 != 0
+    o = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    near = jnp.full((n, 1), 2.0)
+    far = jnp.full((n, 1), 6.0)
+    z_vals = stratified_z_vals(near, far, s)
+
+    for white_back in (False, True):
+        rgb, depth, weights = fused_render_level(
+            params, jnp.concatenate([o, d], axis=0), z_vals,
+            white_back=white_back,
+        )
+        settings = RenderSettings(perturb=0.0, noise_std=0.0, mlp_impl="xla")
+        out = _query_t(params, o, d, z_vals, settings, False)
+        ref = composite_t(out[0:3], out[3], z_vals, d.T, white_back=white_back)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(weights), np.asarray(ref.weights),
+                                   rtol=1e-5, atol=1e-5)
