@@ -261,23 +261,49 @@ def render_rays(
         result["opacity_coarse"] = comp.weights
 
     if settings.n_importance > 0:
-        z_mid = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
         det = settings.perturb == 0
-        z_fine = sample_pdf(
-            z_mid,
-            weights_coarse[:, 1:-1],
-            settings.n_importance,
-            det=det,
-            key=k_pdf,
-            sorted_u=settings.fast_merge,
-        )
-        # Grad must not flow into coarse weights through the resampling
-        # (rendering.py:311-313).
-        z_fine = jax.lax.stop_gradient(z_fine)
-        # NOTE: an O(n) two-way merge (core.sampling.merge_sorted) is
-        # algorithmically cheaper but its scatter lowers catastrophically on
-        # TPU (57ms vs 2.6ms for XLA's sort at 65k rays) — sort wins.
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        if settings.mlp_impl == "pallas" and settings.fast_merge:
+            # Fused Pallas resample+merge (ops/fused_sample_pdf_t.py): CDF on
+            # the MXU, inverse CDF and the bitonic z-merge in VMEM.  Output is
+            # gradient-dead (reference detaches the resampled depths at
+            # rendering.py:311-313 and no parameter reaches z otherwise), so
+            # the forward-only kernel under stop_gradient is exact.
+            from sinnerf_tpu.ops.fused_sample_pdf_t import fused_sample_pdf_merge
+
+            u = None
+            if not det:
+                # identical draw to sample_pdf(sorted_u=True): same key/shape
+                u = jax.random.uniform(
+                    k_pdf,
+                    (z_vals.shape[0], settings.n_importance),
+                    dtype=z_vals.dtype,
+                )
+            # detach the INPUTS (not just the output) so autodiff never
+            # linearizes into the forward-only kernel
+            z_all = fused_sample_pdf_merge(
+                jax.lax.stop_gradient(z_vals),
+                jax.lax.stop_gradient(weights_coarse),
+                settings.n_importance,
+                u,
+                det,
+            )
+        else:
+            z_mid = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+            z_fine = sample_pdf(
+                z_mid,
+                weights_coarse[:, 1:-1],
+                settings.n_importance,
+                det=det,
+                key=k_pdf,
+                sorted_u=settings.fast_merge,
+            )
+            # Grad must not flow into coarse weights through the resampling
+            # (rendering.py:311-313).
+            z_fine = jax.lax.stop_gradient(z_fine)
+            # NOTE: an O(n) two-way merge (core.sampling.merge_sorted) is
+            # algorithmically cheaper but its scatter lowers catastrophically
+            # on TPU (57ms vs 2.6ms for XLA's sort at 65k rays) — sort wins.
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
 
         if fused_eval:
             rgb_f, depth_f, weights_fine = fused_render_level(

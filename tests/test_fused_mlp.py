@@ -246,3 +246,36 @@ def test_fused_render_level_matches_composite():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(weights), np.asarray(ref.weights),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sample_pdf_merge_matches_xla():
+    """The fused resample+merge kernel equals sample_pdf + sort for the det
+    and stratified-sorted stochastic cases, across sample counts that are
+    and are not sublane multiples."""
+    from sinnerf_tpu.core.sampling import sample_pdf, stratified_z_vals
+    from sinnerf_tpu.ops.fused_sample_pdf_t import fused_sample_pdf_merge
+
+    rng = np.random.default_rng(31)
+    for n, s, k in ((77, 8, 8), (64, 10, 12), (33, 64, 64)):
+        near = jnp.full((n, 1), 2.0)
+        far = jnp.full((n, 1), 6.0)
+        z_vals = stratified_z_vals(near, far, s)
+        weights = jnp.asarray(rng.uniform(0, 1, size=(n, s)).astype(np.float32))
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+
+        # det
+        zf = sample_pdf(z_mid, weights[:, 1:-1], k, det=True)
+        ref = jnp.sort(jnp.concatenate([z_vals, zf], axis=-1), axis=-1)
+        got = fused_sample_pdf_merge(z_vals, weights, k, det=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        # stochastic stratified (sorted_u): same uniforms fed to both
+        key = jax.random.key(7)
+        u = jax.random.uniform(key, (n, k), dtype=z_vals.dtype)
+        zf = sample_pdf(z_mid, weights[:, 1:-1], k, det=False, key=key,
+                        sorted_u=True)
+        ref = jnp.sort(jnp.concatenate([z_vals, zf], axis=-1), axis=-1)
+        got = fused_sample_pdf_merge(z_vals, weights, k, u=u, det=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
