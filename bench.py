@@ -92,13 +92,17 @@ def bench_renderer(mlp_impl: str, compute_dtype: str, n_iters: int = 30):
     return N_RAYS * samples_per_ray / dt
 
 
-def bench_train_step(mlp_impl: str, compute_dtype: str, n_iters: int = 20):
+def bench_train_step(
+    mlp_impl: str, compute_dtype: str, n_iters: int = 20, step2: bool = False
+):
     """Full jitted train_step steps/sec at the lego Step-1 scale: 4 bundles x
     4096 rays x (64+128) samples = 16,384 rays / 3.1M MLP evals per forward
     set (SURVEY.md §3.4), with the depth + side-depth + smoothness losses and
-    the Adam update (fwd+bwd).  The batch is synthetic — shapes are what the
-    sampler produces (tests/test_datasets schema); contents don't affect
-    throughput."""
+    the Adam update (fwd+bwd).  ``step2`` adds the published Step-2 extras
+    (--vit_weight 10 --dis_weight 1e-4): ViT CLS semantic loss + PatchGAN
+    G and D updates (random-init aux weights — contents don't affect
+    throughput).  The batch is synthetic — shapes are what the sampler
+    produces (tests/test_datasets schema)."""
     import argparse
 
     from sinnerf_tpu.models.nerf import init_nerf_params
@@ -137,7 +141,8 @@ def bench_train_step(mlp_impl: str, compute_dtype: str, n_iters: int = 20):
     )
     cfg = TrainConfig(
         render=settings, depth_weight=8.0, proj_weight=1.0,
-        depth_smooth_weight=0.5, vit_weight=0.0, dis_weight=0.0,
+        depth_smooth_weight=0.5, vit_weight=10.0 if step2 else 0.0,
+        dis_weight=1e-4 if step2 else 0.0,
         imsize=ps,
     )
     hp = argparse.Namespace(
@@ -149,9 +154,21 @@ def bench_train_step(mlp_impl: str, compute_dtype: str, n_iters: int = 20):
         "coarse": init_nerf_params(jax.random.key(0)),
         "fine": init_nerf_params(jax.random.key(1)),
     }
+    d_params = sn_state = opt_d_state = vit_params = ref_feature = None
+    opt_d = None
+    if step2:
+        from sinnerf_tpu.models.discriminator import init_discriminator
+        from sinnerf_tpu.models.vit import load_vit_params
+
+        d_params, sn_state = init_discriminator(jax.random.key(2), imsize=ps)
+        opt_d = get_optimizer(hp, rate=0.2)
+        opt_d_state = opt_d.init(d_params)
+        vit_params = load_vit_params(None)
+        ref_feature = jnp.zeros((1, 384))
     state = TrainState(
-        params=params, opt_g=opt_g.init(params), d_params=None, sn_state=None,
-        opt_d=None, vit_params=None, ref_feature=None, vgg_params=None,
+        params=params, opt_g=opt_g.init(params), d_params=d_params,
+        sn_state=sn_state, opt_d=opt_d_state, vit_params=vit_params,
+        ref_feature=ref_feature, vgg_params=None,
         step=jnp.zeros((), jnp.int32),
     )
     epoch = jnp.asarray(0.0)
@@ -160,7 +177,7 @@ def bench_train_step(mlp_impl: str, compute_dtype: str, n_iters: int = 20):
         out = None
         for i in range(iters):
             state, out = train_step(
-                state, batch, jax.random.key(i), epoch, cfg, opt_g, None
+                state, batch, jax.random.key(i), epoch, cfg, opt_g, opt_d
             )
         # one scalar fetch at the end syncs the whole chained queue (the axon
         # tunnel's block_until_ready does not)
@@ -200,6 +217,7 @@ def main():
 
     # training throughput at the lego Step-1 shape (second metric, same line)
     train_steps = None
+    train2_steps = None
     train_key = best_key
     if time.perf_counter() - t_start < budget:
         try:
@@ -207,6 +225,12 @@ def main():
             train_steps = bench_train_step(impl, dtype)
         except Exception:
             train_steps = None
+    if time.perf_counter() - t_start < budget:
+        try:
+            impl, dtype = best_key.split("/")
+            train2_steps = bench_train_step(impl, dtype, step2=True)
+        except Exception:
+            train2_steps = None
 
     line = {
         "metric": f"coarse+fine ray samples/sec/chip ({best_key}, "
@@ -221,6 +245,12 @@ def main():
             "samples, depth+side+smooth losses, fwd+bwd+adam)"
         )
         line["train_steps_per_sec"] = round(train_steps, 2)
+    if train2_steps is not None:
+        line["train_step2_metric"] = (
+            "train_step steps/sec with the Step-2 extras (ViT CLS loss + "
+            "PatchGAN G and D updates)"
+        )
+        line["train_step2_steps_per_sec"] = round(train2_steps, 2)
     print(json.dumps(line))
 
 

@@ -98,16 +98,20 @@ def vit_tokens(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     Returns all block outputs (pre-final-norm), matching the reference's
     forward hooks over every block (extractor.py:34-60, 92-98).
     """
-    b = x.shape[0]
-    patches = jax.lax.conv_general_dilated(
-        x,
-        params["patch_embed"]["w"],
-        window_strides=(PATCH, PATCH),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )  # (B, D, 14, 14)
-    patches = patches + params["patch_embed"]["b"][None, :, None, None]
-    tokens = patches.reshape(b, EMBED_DIM, -1).transpose(0, 2, 1)  # (B, 196, D)
+    # The stride-16 16x16 VALID "conv" over non-overlapping patches is
+    # exactly a block reshape + matmul.  Expressed as lax.conv its INPUT
+    # gradient lowers to a transposed/dilated conv that costs 40.3ms on v5e
+    # (54x the whole rest of the ViT backward, measured) — as a matmul the
+    # VJP is just the transposed matmul.
+    b, c, hh, ww = x.shape
+    gh, gw = hh // PATCH, ww // PATCH
+    patches = (
+        x.reshape(b, c, gh, PATCH, gw, PATCH)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(b, gh * gw, c * PATCH * PATCH)
+    )
+    wm = params["patch_embed"]["w"].reshape(EMBED_DIM, -1)  # (D, c*16*16)
+    tokens = patches @ wm.T + params["patch_embed"]["b"]  # (B, 196, D)
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, EMBED_DIM))
     tokens = jnp.concatenate([cls, tokens], axis=1) + params["pos_embed"]
 
@@ -130,11 +134,23 @@ def _gb(d):
 def torch_nearest_resize(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Exact ``F.interpolate(mode='nearest')`` semantics: source index
     ``floor(dst * src/dst)`` (jax.image.resize uses the half-pixel-center
-    convention, which picks different pixels)."""
+    convention, which picks different pixels).
+
+    Implemented as two one-hot selection matmuls rather than advanced
+    indexing: a minor-axis (lane) gather lowers acceptably on TPU but its
+    VJP is a lane scatter-add, which is catastrophic — the gather version
+    made the ViT backward 54x its forward (40.7ms vs 0.75ms measured on
+    v5e, i.e. the entire +82ms/step cost of the Step-2 losses).  One-hot
+    matmuls are exact (each output row sums exactly one input element) and
+    differentiate into transposed matmuls on the MXU."""
     b, c, h, w = x.shape
     rows = jnp.floor(jnp.arange(size) * (h / size)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(size) * (w / size)).astype(jnp.int32)
-    return x[:, :, rows][:, :, :, cols]
+    sel_r = (rows[:, None] == jnp.arange(h)[None, :]).astype(x.dtype)  # (size, h)
+    sel_c = (cols[:, None] == jnp.arange(w)[None, :]).astype(x.dtype)  # (size, w)
+    return jnp.einsum(
+        "ph,bchw,qw->bcpq", sel_r, x, sel_c, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def vit_preprocess(x: jnp.ndarray) -> jnp.ndarray:

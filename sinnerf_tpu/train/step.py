@@ -194,10 +194,20 @@ def compute_losses(
         first = jnp.all(ref_feature == 0, axis=1, keepdims=True)  # (B, 1)
         coin = jax.random.bernoulli(keys[1], cfg.vit_refresh_prob, (b, 1))
         refresh = coin | first
-        fresh = jax.lax.stop_gradient(_vit_cls_batch(vit_params, real_patch))
+        # the ~0.95 of steps that refresh no item skip the ViT forward
+        # entirely (lax.cond executes one branch at runtime)
+        fresh = jax.lax.cond(
+            jnp.any(refresh),
+            lambda: jax.lax.stop_gradient(_vit_cls_batch(vit_params, real_patch)),
+            lambda: jnp.zeros((b, 384), real_patch.dtype),
+        )
         ref_feat = jnp.where(refresh, fresh, ref_feature)
-        sem_coarse = _vit_cls_batch(vit_params, side_imgs["rgb_coarse"])
-        sem_fine = _vit_cls_batch(vit_params, side_imgs["rgb_fine"])
+        # one batched ViT call for both rendered patches (halves launch count)
+        sem = _vit_cls_batch(
+            vit_params,
+            jnp.concatenate([side_imgs["rgb_coarse"], side_imgs["rgb_fine"]], axis=0),
+        )
+        sem_coarse, sem_fine = sem[:b], sem[b:]
         # per-item MSE then batch mean == pooled mean (equal feature dims)
         loss_vit = jnp.mean((sem_coarse - ref_feat) ** 2) + jnp.mean(
             (sem_fine - ref_feat) ** 2
