@@ -94,6 +94,28 @@ def main():
     dg = jax.grad(lambda x: jnp.sum(d_fwd(x) ** 2))
     report["disc_fwdbwd"] = time_fn(lambda x: dg(x), img, iters=50)
 
+    # --- the other photometric/regularizer loss backends ------------------
+    from sinnerf_tpu.losses.depth import inverse_depth_smoothness_loss
+    from sinnerf_tpu.models.vgg import load_vgg_params, make_vgg_features, vgg_preprocess
+    from sinnerf_tpu.utils.metrics import dssim_loss
+
+    tgt = jnp.asarray(rng.uniform(size=(1, 3, PS, PS)).astype(np.float32))
+
+    g_ssim = jax.grad(lambda x: dssim_loss(x, tgt, window_size=11))
+    report["ssim_fwdbwd"] = time_fn(lambda x: jnp.sum(g_ssim(x)), img, iters=50)
+
+    vgg_params = load_vgg_params(None)
+    vgg_feats = make_vgg_features(vgg_params)
+
+    g_vgg = jax.grad(
+        lambda x: jnp.mean(jnp.abs(vgg_feats(vgg_preprocess(x)) - 0.5))
+    )
+    report["vgg_fwdbwd"] = time_fn(lambda x: jnp.sum(g_vgg(x)), img, iters=50)
+
+    depth_img = jnp.asarray(rng.uniform(1, 5, size=(1, 1, PS, PS)).astype(np.float32))
+    g_sm = jax.grad(lambda d: inverse_depth_smoothness_loss(d, img))
+    report["smooth_fwdbwd"] = time_fn(lambda d: jnp.sum(g_sm(d)), depth_img, iters=50)
+
     for k, v in report.items():
         print(f"{k:20s} {v * 1e3:8.2f} ms")
 
