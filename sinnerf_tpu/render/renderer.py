@@ -62,6 +62,12 @@ class RenderSettings:
     # compositing in one kernel, nothing per-point touches HBM.  Forward-only
     # (no VJP) — turn off to differentiate through a deterministic render.
     fast_eval: bool = True
+    # Stochastic (training) renders on the pallas path use the per-ray
+    # TRAIN kernels (ops/fused_render_train_t.py): dir-PE once per ray in
+    # both directions, compositing fused, parameter-grads-only VJP (rays,
+    # depths, and sigma noise are stop_gradient'ed — exactly the training
+    # data flow).  Turn off to differentiate a stochastic render w.r.t. rays.
+    fast_train: bool = True
     # Points per MLP chunk: bounds peak HBM (activations are (256, chunk));
     # chunks stream through lax.map with rematerialized backward.
     points_chunk: int = 2 * 1024 * 1024
@@ -167,6 +173,42 @@ def _query_t(
     return out.reshape(4, n_rays, s)
 
 
+def _fused_train_level(
+    level_params: Params,
+    rays_o_t: jnp.ndarray,
+    rays_d_t: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    settings: RenderSettings,
+    noise_key: jax.Array,
+):
+    """One render level through the per-ray TRAIN kernels
+    (``ops/fused_render_train_t.py``).  The sigma noise is drawn here with
+    the same key/shape as ``core.composite.compute_weights`` (bit-identical
+    stream), and rays/depths/noise are stop_gradient'ed because the fused
+    VJP produces parameter grads only (the reference detaches the same
+    quantities: rays are data, fine depths at ``rendering.py:311-313``)."""
+    from sinnerf_tpu.ops.fused_render_train_t import fused_render_level_train
+
+    noise = None
+    if settings.noise_std > 0 and not settings.test_time:
+        noise = settings.noise_std * jax.random.normal(
+            noise_key, z_vals.shape, dtype=jnp.float32
+        )
+        noise = jax.lax.stop_gradient(noise)
+    rays_od_t = jax.lax.stop_gradient(
+        jnp.concatenate([rays_o_t, rays_d_t], axis=0)
+    )
+    return fused_render_level_train(
+        level_params,
+        rays_od_t,
+        jax.lax.stop_gradient(z_vals),
+        noise,
+        settings.use_new_activation,
+        settings.white_back,
+        settings.compute_dtype,
+    )
+
+
 def render_rays(
     params: Dict[str, Params],
     rays: jnp.ndarray,
@@ -243,22 +285,30 @@ def render_rays(
         coarse_params = params["coarse"]
         if settings.detach_coarse:
             coarse_params = jax.lax.stop_gradient(coarse_params)
-        out = _query_t(
-            coarse_params, rays_o_t, rays_d_t, z_vals, settings, False
-        )
-        comp = composite_t(
-            out[0:3],
-            out[3],
-            z_vals,
-            rays_d,
-            noise_std=settings.noise_std,
-            key=k_noise_c,
-            white_back=settings.white_back,
-        )
-        weights_coarse = comp.weights
-        result["rgb_coarse"] = comp.rgb
-        result["depth_coarse"] = comp.depth
-        result["opacity_coarse"] = comp.weights
+        if settings.mlp_impl == "pallas" and settings.fast_train:
+            rgb_c, depth_c, weights_coarse = _fused_train_level(
+                coarse_params, rays_o_t, rays_d_t, z_vals, settings, k_noise_c
+            )
+            result["rgb_coarse"] = rgb_c
+            result["depth_coarse"] = depth_c
+            result["opacity_coarse"] = weights_coarse
+        else:
+            out = _query_t(
+                coarse_params, rays_o_t, rays_d_t, z_vals, settings, False
+            )
+            comp = composite_t(
+                out[0:3],
+                out[3],
+                z_vals,
+                rays_d,
+                noise_std=settings.noise_std,
+                key=k_noise_c,
+                white_back=settings.white_back,
+            )
+            weights_coarse = comp.weights
+            result["rgb_coarse"] = comp.rgb
+            result["depth_coarse"] = comp.depth
+            result["opacity_coarse"] = comp.weights
 
     if settings.n_importance > 0:
         det = settings.perturb == 0
@@ -310,6 +360,13 @@ def render_rays(
                 params["fine"], rays_od_t, z_all,
                 settings.use_new_activation, settings.white_back,
                 settings.compute_dtype,
+            )
+            result["rgb_fine"] = rgb_f
+            result["depth_fine"] = depth_f
+            result["opacity_fine"] = weights_fine
+        elif settings.mlp_impl == "pallas" and settings.fast_train:
+            rgb_f, depth_f, weights_fine = _fused_train_level(
+                params["fine"], rays_o_t, rays_d_t, z_all, settings, k_noise_f
             )
             result["rgb_fine"] = rgb_f
             result["depth_fine"] = depth_f
