@@ -17,10 +17,14 @@ Compositing semantics match ``core/composite.py`` exactly (deltas with the
 relu(sigma)), exclusive cumprod with the +1e-10 guard, optional white
 background), which in turn is the reference ``models/rendering.py:214-248``.
 
-Forward-only by design: training needs gradients and uses the per-point
-kernel (``fused_mlp_t``) whose custom VJP recomputes in-kernel.  Inputs are
-the packed rays and the per-ray sample depths; z generation / importance
-resampling stay outside (they are cheap and RNG-bearing).
+The kernel itself computes no gradients, but the wrapper is fully
+differentiable: its custom VJP recomputes through the unfused per-point
+composition (``fused_mlp_t`` + ``composite_t``), so parameter AND ray/depth
+gradients are exact — a deterministic render that IS differentiated costs
+one extra forward.  (Stochastic training uses the dedicated per-ray train
+kernels in ``fused_render_train_t.py`` instead.)  Inputs are the packed
+rays and the per-ray sample depths; z generation / importance resampling
+stay outside (they are cheap and RNG-bearing).
 """
 
 from __future__ import annotations
@@ -49,9 +53,9 @@ from sinnerf_tpu.ops.fused_mlp_t import (
 import os
 
 RAY_OUT = 8  # output rows: rgb 0:3, depth 3, weight-sum 4, 5:8 zero
-# rays per grid step; (256, 2048) matmuls keep the MXU busy while the z and
-# weights streams (S, R_TILE) stay within VMEM double-buffering budgets
-R_TILE = int(os.environ.get("SINNERF_R_TILE", "2048"))
+# rays per grid step; swept on v5e at the eval bench shape:
+# 1024 -> 128.6M, 2048 -> 130.6M, 4096 -> 131.4M samples/s
+R_TILE = int(os.environ.get("SINNERF_R_TILE", "4096"))
 
 
 def _render_kernel(
@@ -137,7 +141,10 @@ def fused_render_level(
     """
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     n, s = z_vals.shape
-    n_pad = (-n) % R_TILE
+    # clamp the tile to the 512-rounded ray count: tiny renders (tests,
+    # sub-tile val tiles) would otherwise pad to a full R_TILE of dummy rays
+    r_tile = min(R_TILE, -(-n // 512) * 512)
+    n_pad = (-n) % r_tile
     rays8 = rays_t[0:6]
     rays8 = jnp.concatenate(
         [rays8, jnp.zeros((RAY_OUT - 6, n), jnp.float32)], axis=0
@@ -153,12 +160,12 @@ def fused_render_level(
         z_t = jnp.pad(z_t, ((0, 0), (0, n_pad)), constant_values=1.0)
 
     operands = pack_weights_t(params, dtype)
-    grid = ((n + n_pad) // R_TILE,)
+    grid = ((n + n_pad) // r_tile,)
     s_rows = s + s_pad
 
     in_specs = [
-        pl.BlockSpec((RAY_OUT, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((s_rows, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_OUT, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s_rows, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     for op in operands:
         in_specs.append(
@@ -177,8 +184,8 @@ def fused_render_level(
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((RAY_OUT, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_rows, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_OUT, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((RAY_OUT, n + n_pad), jnp.float32),

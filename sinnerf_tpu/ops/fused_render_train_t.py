@@ -419,18 +419,21 @@ def _run_fwd(params, rays_t, z_vals, noise, use_new_activation, white_back,
              compute_dtype):
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     n, s = z_vals.shape
-    rays8, z_t, noise_t, s8, n_pad = _prep(rays_t, z_vals, noise, R_TRAIN)
+    # clamp the tile to the 512-rounded ray count (tiny renders would
+    # otherwise pad to a full R_TRAIN of dummy rays)
+    r_tile = min(R_TRAIN, -(-n // 512) * 512)
+    rays8, z_t, noise_t, s8, n_pad = _prep(rays_t, z_vals, noise, r_tile)
     operands = pack_weights_t(params, dtype)
-    grid = ((n + n_pad) // R_TRAIN,)
+    grid = ((n + n_pad) // r_tile,)
 
     in_specs = [
-        pl.BlockSpec((RAY_OUT, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((s8, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_OUT, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     args = [rays8, z_t]
     if noise_t is not None:
         in_specs.append(
-            pl.BlockSpec((s8, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((s8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(noise_t)
     in_specs += _weight_specs(operands)
@@ -450,10 +453,10 @@ def _run_fwd(params, rays_t, z_vals, noise, use_new_activation, white_back,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((RAY_OUT, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s8, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s8, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * s8, R_TRAIN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_OUT, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * s8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((RAY_OUT, nt), jnp.float32),

@@ -93,7 +93,11 @@ def _kernel(*refs, s: int, k: int, det: bool, l_merge: int):
 
     def body(i, _):
         if det:
-            u = (i.astype(jnp.float32) / (k - 1)) * jnp.ones((1, r), jnp.float32)
+            # linspace(0, 1, k): guard k == 1 (i/(k-1) would be 0/0; the
+            # reference linspace yields [0.0])
+            u = (i.astype(jnp.float32) / max(k - 1, 1)) * jnp.ones(
+                (1, r), jnp.float32
+            )
         else:
             # stratified sorted uniforms: (i + U_i) / K
             u = (i.astype(jnp.float32) + u_ref[pl.ds(i, 1), :]) / k

@@ -57,16 +57,18 @@ class RenderSettings:
     # variance than the reference's iid uniforms, same marginal coverage.
     # Exact reference semantics with fast_merge=False.
     fast_merge: bool = True
-    # Gradient-free renders (perturb=0, noise=0) on the pallas path use the
+    # Deterministic renders (perturb=0, noise=0) on the pallas path use the
     # fused per-ray kernel (ops/fused_render_t.py): PE + MLP + online
-    # compositing in one kernel, nothing per-point touches HBM.  Forward-only
-    # (no VJP) — turn off to differentiate through a deterministic render.
+    # compositing in one kernel, nothing per-point touches HBM.  Fully
+    # differentiable: its custom VJP recomputes through the per-point
+    # composition, giving correct gradients for params AND rays/depths.
     fast_eval: bool = True
     # Stochastic (training) renders on the pallas path use the per-ray
     # TRAIN kernels (ops/fused_render_train_t.py): dir-PE once per ray in
     # both directions, compositing fused, parameter-grads-only VJP (rays,
     # depths, and sigma noise are stop_gradient'ed — exactly the training
-    # data flow).  Turn off to differentiate a stochastic render w.r.t. rays.
+    # data flow).  To differentiate a stochastic render w.r.t. RAYS or
+    # DEPTHS, set fast_train=False (the XLA path has full gradients).
     fast_train: bool = True
     # Points per MLP chunk: bounds peak HBM (activations are (256, chunk));
     # chunks stream through lax.map with rematerialized backward.

@@ -139,13 +139,23 @@ class SinNeRFTrainer:
             # (sinnerf.py:272-275); one row per global-batch item.
             ref_feature = jnp.zeros((self.global_batch_size, 384))
         vgg_params = None
-        if "l2_vgg" in (hparams.loss_type, hparams.patch_loss):
+        if hparams.loss_type == "l2_vgg":
+            # The reference crashes on this combination too: its random-ray
+            # loss feeds flat (N, 3) bundles into VGG16LossDirect, whose
+            # F.interpolate needs 4-D images (reference losses.py:129,
+            # sinnerf.py:317).  Same treatment as the broken ft/clip choices.
+            raise ValueError(
+                "--loss_type l2_vgg is unsupported (as in the reference, "
+                "where it crashes on ray bundles) — use --patch_loss l2_vgg "
+                "for the perceptual term on image patches."
+            )
+        if hparams.patch_loss == "l2_vgg":
             from sinnerf_tpu.models.vgg import load_vgg_params
 
             vgg_path = getattr(hparams, "vgg_weights", None)
             if not vgg_path and not allow_random:
                 raise ValueError(
-                    "--loss_type/--patch_loss l2_vgg requires --vgg_weights "
+                    "--patch_loss l2_vgg requires --vgg_weights "
                     "<path to torchvision VGG16 weights>: without them the "
                     "perceptual loss uses a RANDOM VGG. Pass "
                     "--allow_random_pretrained to override (tests only)."
@@ -206,12 +216,18 @@ class SinNeRFTrainer:
         tree = load_checkpoint(path)
         restored = jax.tree_util.tree_map(jnp.asarray, tree["state"])
         # tolerate checkpoints written before a TrainState field existed
-        self.state = TrainState(
-            **{
-                f: restored[f] if f in restored else getattr(self.state, f)
-                for f in TrainState._fields
-            }
-        )
+        fields = {
+            f: restored[f] if f in restored else getattr(self.state, f)
+            for f in TrainState._fields
+        }
+        # migrate the pre-per-item ViT cache: (384,) -> (B, 384) (the cache
+        # became one row per global-batch item for DDP-exact semantics)
+        rf = fields.get("ref_feature")
+        if rf is not None and rf.ndim == 1:
+            fields["ref_feature"] = jnp.broadcast_to(
+                rf[None], (self.global_batch_size, rf.shape[0])
+            )
+        self.state = TrainState(**fields)
         self.start_epoch = int(tree.get("epoch", 0))
 
     def _save(self, epoch: int, val_psnr: float) -> None:

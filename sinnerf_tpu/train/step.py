@@ -128,9 +128,11 @@ def compute_losses(
     keys = jax.random.split(key, 6)
     loss_fn = loss_dict[cfg.loss_type]
     patch_loss_fn = loss_dict[cfg.patch_loss]
-    # depth patches are 1-channel: the VGG perceptual term is inapplicable
-    # there (the reference would crash feeding them to torchvision VGG16), so
-    # only the RGB patch loss gets the bound feature extractor.
+    # The VGG extractor binds ONLY to the patch loss: the random-ray loss
+    # feeds flat (N, 3) bundles, on which the reference's own
+    # --loss_type l2_vgg crashes (losses.py:129 F.interpolate needs images),
+    # and 1-channel depth patches would crash torchvision VGG16 the same
+    # way.  The trainer rejects loss_type='l2_vgg' up front (loop.py).
     depth_patch_loss_fn = patch_loss_fn
     if vgg_params is not None and cfg.patch_loss == "l2_vgg":
         from sinnerf_tpu.models.vgg import make_vgg_features

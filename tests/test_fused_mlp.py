@@ -376,3 +376,82 @@ def test_fused_render_level_train_fwd_and_grads():
                     b_ / scale, a_ / scale, rtol=1e-2, atol=1e-2,
                     err_msg=f"{k}/{leaf} (n={n}, s={s})",
                 )
+
+
+def test_fused_sample_pdf_merge_single_importance_sample():
+    """K=1 deterministic: the reference linspace(0, 1, 1) == [0.0]; the
+    kernel's i/(k-1) needed a 0/0 guard."""
+    from sinnerf_tpu.core.sampling import sample_pdf, stratified_z_vals
+    from sinnerf_tpu.ops.fused_sample_pdf_t import fused_sample_pdf_merge
+
+    rng = np.random.default_rng(3)
+    n, s = 40, 8
+    near = jnp.full((n, 1), 2.0)
+    far = jnp.full((n, 1), 6.0)
+    z_vals = stratified_z_vals(near, far, s)
+    weights = jnp.asarray(rng.uniform(0, 1, size=(n, s)).astype(np.float32))
+    z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+    zf = sample_pdf(z_mid, weights[:, 1:-1], 1, det=True)
+    ref = jnp.sort(jnp.concatenate([z_vals, zf], axis=-1), axis=-1)
+    got = fused_sample_pdf_merge(z_vals, weights, 1, det=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_renderer_pallas_stochastic_training_path_matches_xla():
+    """The full stochastic training render (stratified jitter + fused
+    sample_pdf + sigma noise + per-ray train kernels) equals the XLA path
+    under the SAME key: every RNG draw (perturb, noise, importance u) is
+    constructed with identical key/shape on both paths.  Parameter grads
+    compared too — this is the end-to-end regression for the train kernels
+    inside render_rays."""
+    params = {
+        "coarse": init_nerf_params(jax.random.key(31)),
+        "fine": init_nerf_params(jax.random.key(32)),
+    }
+    rng = np.random.default_rng(31)
+    n = 64
+    rays = jnp.asarray(np.concatenate(
+        [
+            rng.normal(size=(n, 3)).astype(np.float32),
+            rng.normal(size=(n, 3)).astype(np.float32),
+            np.full((n, 1), 2.0, np.float32),
+            np.full((n, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    ))
+    key = jax.random.key(9)
+    s_xla = RenderSettings(n_samples=8, n_importance=8, perturb=1.0,
+                           noise_std=1.0, white_back=True)
+    s_pal = RenderSettings(n_samples=8, n_importance=8, perturb=1.0,
+                           noise_std=1.0, white_back=True, mlp_impl="pallas")
+    a = render_rays(params, rays, key, s_xla)
+    b = render_rays(params, rays, key, s_pal)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+    tgt = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+
+    def loss(p, settings):
+        out = render_rays(p, rays, key, settings)
+        return (
+            jnp.sum((out["rgb_fine"] - tgt) ** 2)
+            + jnp.sum((out["rgb_coarse"] - tgt) ** 2)
+            + 0.1 * jnp.sum(out["depth_fine"] ** 2)
+        )
+
+    g_xla = jax.grad(loss)(params, s_xla)
+    g_pal = jax.grad(loss)(params, s_pal)
+    for lvl in g_xla:
+        for layer in g_xla[lvl]:
+            for leaf in ("w", "b"):
+                a_ = np.asarray(g_xla[lvl][layer][leaf])
+                b_ = np.asarray(g_pal[lvl][layer][leaf])
+                scale = np.abs(a_).max() + 1e-8
+                np.testing.assert_allclose(
+                    b_ / scale, a_ / scale, rtol=1e-2, atol=1e-2,
+                    err_msg=f"{lvl}/{layer}/{leaf}",
+                )

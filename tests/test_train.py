@@ -371,3 +371,32 @@ def test_train_cli_main(blender_root, tmp_path, monkeypatch):
     monkeypatch.setattr(loop_mod.SinNeRFTrainer, "__init__", patched_init)
     best = train_cli.main(hp)
     assert np.isfinite(best)
+
+
+def test_loss_type_l2_vgg_rejected(blender_root, tmp_path):
+    """--loss_type l2_vgg crashes in the reference (flat ray bundles into
+    F.interpolate, losses.py:129); we reject it up front with a clear error.
+    --patch_loss l2_vgg remains the supported perceptual path."""
+    hp = _hparams(blender_root, str(tmp_path), loss_type="l2_vgg")
+    with pytest.raises(ValueError, match="l2_vgg"):
+        SinNeRFTrainer(hp)
+
+
+def test_resume_migrates_flat_ref_feature(blender_root, tmp_path):
+    """Checkpoints from before the per-item ViT cache stored ref_feature as
+    (384,); resume must broadcast it to (global_batch, 384)."""
+    import glob
+
+    from sinnerf_tpu.train.checkpoints import TopKCheckpointManager
+
+    hp = _hparams(blender_root, str(tmp_path), vit_weight=1.0,
+                  allow_random_pretrained=True)
+    trainer = SinNeRFTrainer(hp)
+    # simulate the legacy layout: flatten the stored cache to (384,)
+    legacy_state = dict(trainer.state._asdict())
+    legacy_state["ref_feature"] = jnp.zeros((384,))
+    legacy_dir = os.path.join(str(tmp_path), "legacy")
+    mgr = TopKCheckpointManager(legacy_dir, top_k=1)
+    mgr.save({"state": legacy_state, "epoch": 0}, 0, 1.0)
+    trainer._resume(os.path.join(legacy_dir, "last"))
+    assert trainer.state.ref_feature.shape == (trainer.global_batch_size, 384)
