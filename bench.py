@@ -11,17 +11,18 @@ counted in (SURVEY.md §3.4).
 
 import json
 import os
+import sys
 import time
 
-import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Persistent compilation cache: Mosaic/XLA compiles through the axon tunnel
-# take minutes; cache them next to the repo so repeat runs are seconds.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache (Mosaic/XLA compiles through the axon tunnel
+# take minutes) + the raised scoped-VMEM limit the train backward tile needs.
+from sinnerf_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np

@@ -67,7 +67,11 @@ from sinnerf_tpu.ops.fused_mlp_t import (
 
 RAY_OUT = 8  # fwd out rows: rgb 0:3, depth 3, weight-sum 4, 5:8 zero
 R_TRAIN = int(os.environ.get("SINNERF_R_TRAIN", "1024"))
-R_TRAIN_BWD = int(os.environ.get("SINNERF_R_TRAIN_BWD", "512"))
+# swept on v5e at the train shape: 256 -> 144ms, 512 -> 123.5ms,
+# 1024 -> 121.2ms fwd+bwd (1024 needs the 32MB scoped-VMEM limit that
+# utils/cache.configure_tpu_env sets; falls back cleanly under 16MB? no —
+# it OOMs at compile, so keep the env default in sync with this tile)
+R_TRAIN_BWD = int(os.environ.get("SINNERF_R_TRAIN_BWD", "1024"))
 
 
 def _round8(x: int) -> int:
@@ -514,7 +518,7 @@ def _frlt_bwd(use_new_activation, white_back, compute_dtype, res, g):
     g_rgb, g_depth, g_w = g  # (N,3), (N,), (N,S)
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     n, s = z_vals.shape
-    r_tile = R_TRAIN_BWD
+    r_tile = min(R_TRAIN_BWD, -(-n // 512) * 512)
     rays8, z_t, noise_t, s8, n_pad = _prep(rays_t, z_vals, noise, r_tile)
     nt = n + n_pad
 
