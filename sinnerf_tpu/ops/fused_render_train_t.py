@@ -66,11 +66,13 @@ from sinnerf_tpu.ops.fused_mlp_t import (
 )
 
 RAY_OUT = 8  # fwd out rows: rgb 0:3, depth 3, weight-sum 4, 5:8 zero
-R_TRAIN = int(os.environ.get("SINNERF_R_TRAIN", "1024"))
-# swept on v5e at the train shape: 256 -> 144ms, 512 -> 123.5ms,
-# 1024 -> 121.2ms fwd+bwd (1024 needs the 32MB scoped-VMEM limit that
-# utils/cache.configure_tpu_env sets; falls back cleanly under 16MB? no —
-# it OOMs at compile, so keep the env default in sync with this tile)
+# swept on v5e at the train shape (fwd): 1024 -> 34.2ms, 2048 -> 33.6ms
+R_TRAIN = int(os.environ.get("SINNERF_R_TRAIN", "2048"))
+# swept on v5e at the train shape (fwd+bwd): 256 -> 144ms, 512 -> 123.5ms,
+# 1024 -> 121.2ms; 2048 fails to compile even at a 48MB scoped limit.
+# 1024 needs the 32MB scoped-VMEM limit that utils/cache.configure_tpu_env
+# sets (under the default 16MB it OOMs at compile — keep the env default in
+# sync with this tile).
 R_TRAIN_BWD = int(os.environ.get("SINNERF_R_TRAIN_BWD", "1024"))
 
 
