@@ -88,7 +88,8 @@ def test_torch_import_roundtrip():
         np.testing.assert_array_equal(np.asarray(params[k]["b"]), np.asarray(back[k]["b"]))
 
 
-def _reference_render(params_c, params_f, rays, n_samples, n_importance, white_back):
+def _reference_render(params_c, params_f, rays, n_samples, n_importance,
+                      white_back, use_disp=False):
     """Run the reference render_rays deterministically on torch."""
     rendering_ref = import_reference_module("models.rendering")
     nerf_ref = import_reference_module("models.nerf")
@@ -105,7 +106,7 @@ def _reference_render(params_c, params_f, rays, n_samples, n_importance, white_b
             embeddings,
             torch.from_numpy(rays),
             N_samples=n_samples,
-            use_disp=False,
+            use_disp=use_disp,
             perturb=0,
             noise_std=0,
             N_importance=n_importance,
@@ -407,3 +408,32 @@ def test_test_time_renders_opacity_and_fine_only():
     assert set(out) == {"opacity_coarse", "rgb_fine", "depth_fine", "opacity_fine"}
     assert out["opacity_coarse"].shape == (8, 8)
     assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+
+
+def test_render_rays_use_disp_matches_reference():
+    """Disparity-space sampling (--use_disp; rendering.py:274-277 z in
+    1/depth) golden vs the reference."""
+    params = {"coarse": _make_params(7), "fine": _make_params(8)}
+    rng = np.random.default_rng(7)
+    n = 48
+    rays = np.concatenate(
+        [
+            rng.normal(size=(n, 3)).astype(np.float32),
+            rng.normal(size=(n, 3)).astype(np.float32),
+            np.full((n, 1), 2.0, np.float32),
+            np.full((n, 1), 6.0, np.float32),
+        ],
+        axis=1,
+    )
+    settings = RenderSettings(
+        n_samples=16, n_importance=16, perturb=0.0, noise_std=0.0,
+        use_disp=True,
+    )
+    got = render_rays(params, jnp.asarray(rays), None, settings)
+    want = _reference_render(
+        params["coarse"], params["fine"], rays, 16, 16, False, use_disp=True
+    )
+    for k in ["rgb_coarse", "depth_coarse", "rgb_fine", "depth_fine"]:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k], rtol=1e-3, atol=2e-4, err_msg=k
+        )
