@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sinnerf_tpu.core.activations import shifted_softplus, widened_sigmoid
+from sinnerf_tpu.core.activations import shifted_softplus
 from sinnerf_tpu.ops.fused_mlp_t import (
     DIR_CH,
     DIR_PAD,
@@ -191,11 +191,6 @@ def _train_bwd_kernel(
         db1, db2, db3, db4, db5, db6, db7, db8, dbfin, dbd, dbrgb, dbsig,
         dsig_scr,  # (S8, R) scratch: per-sample dL/dsigma
     ) = refs
-    weight_refs = (
-        w1, w2, w3, w4, w5h, w5x, w6, w7, w8, wfin, wdh, wdx, wrgb, wsig,
-        b1, b2, b3, b4, b5, b6, b7, b8, bfin, bd, brgb, bsig,
-    )
-
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in (
