@@ -20,3 +20,12 @@ def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_pallas_kernels():
+    """The sharded G+D step through the per-ray Pallas train kernels
+    (interpret mode) — guards the SPMD x pallas-train combination."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(4, "pallas")
