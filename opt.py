@@ -131,3 +131,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def get_opts(args=None):
     return build_parser().parse_args(args)
+
+
+def make_default_hparams(**overrides) -> argparse.Namespace:
+    """An hparams Namespace with every flag at its CLI default, overridden by
+    kwargs.  The single source of truth for programmatic trainer construction
+    (dryruns, profilers, tests) — keeps those in sync with the flag table
+    instead of hand-copied 35-field Namespace literals."""
+    hp = {}
+    for name, spec in _FLAG_SPEC:
+        hp[name] = False if spec.get("flag") else spec.get("default")
+    unknown = set(overrides) - set(hp)
+    if unknown:
+        raise TypeError(f"unknown hparams: {sorted(unknown)}")
+    hp.update(overrides)
+    return argparse.Namespace(**hp)
