@@ -136,3 +136,31 @@ def test_save_weights_only(tmp_path):
     out = save_weights_only(ckpt, str(tmp_path / "weights_only"))
     tree = load_checkpoint(out)
     assert "params" in tree and "opt_g" not in tree.get("state", tree)
+
+
+def test_make_default_hparams_matches_flag_table():
+    """Programmatic hparams == CLI defaults; unknown keys rejected."""
+    import pytest as _pytest
+
+    from opt import get_opts, make_default_hparams
+
+    cli = vars(get_opts([]))
+    prog = vars(make_default_hparams())
+    assert prog == cli
+    assert vars(make_default_hparams(lr=1.0))["lr"] == 1.0
+    with _pytest.raises(TypeError, match="unknown"):
+        make_default_hparams(not_a_flag=1)
+
+
+def test_configure_tpu_env_respects_user_override(monkeypatch):
+    from sinnerf_tpu.utils.cache import configure_tpu_env
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=8192")
+    configure_tpu_env()
+    import os
+
+    assert os.environ["LIBTPU_INIT_ARGS"] == "--xla_tpu_scoped_vmem_limit_kib=8192"
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--foo=1")
+    configure_tpu_env()
+    assert "--foo=1" in os.environ["LIBTPU_INIT_ARGS"]
+    assert "xla_tpu_scoped_vmem_limit_kib=32768" in os.environ["LIBTPU_INIT_ARGS"]
