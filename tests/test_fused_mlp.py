@@ -37,10 +37,15 @@ def test_renderer_pallas_impl_matches_xla():
         ],
         axis=1,
     )
-    s_xla = RenderSettings(n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0)
+    # mlp_impl must be given explicitly: RenderSettings defaults to "pallas",
+    # so omitting it here once made this test compare pallas to itself.
+    s_xla = RenderSettings(
+        n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0, mlp_impl="xla"
+    )
     s_pal = RenderSettings(
         n_samples=8, n_importance=8, perturb=0.0, noise_std=0.0, mlp_impl="pallas"
     )
+    assert s_xla.mlp_impl != s_pal.mlp_impl
     a = render_rays(params, jnp.asarray(rays), None, s_xla)
     b = render_rays(params, jnp.asarray(rays), None, s_pal)
     for k in a:
@@ -422,10 +427,13 @@ def test_renderer_pallas_stochastic_training_path_matches_xla():
         axis=1,
     ))
     key = jax.random.key(9)
+    # mlp_impl="xla" is load-bearing: RenderSettings defaults to "pallas" and
+    # omitting it made this test vacuously compare the pallas path to itself.
     s_xla = RenderSettings(n_samples=8, n_importance=8, perturb=1.0,
-                           noise_std=1.0, white_back=True)
+                           noise_std=1.0, white_back=True, mlp_impl="xla")
     s_pal = RenderSettings(n_samples=8, n_importance=8, perturb=1.0,
                            noise_std=1.0, white_back=True, mlp_impl="pallas")
+    assert s_xla.mlp_impl != s_pal.mlp_impl
     a = render_rays(params, rays, key, s_xla)
     b = render_rays(params, rays, key, s_pal)
     for k in a:
@@ -451,7 +459,14 @@ def test_renderer_pallas_stochastic_training_path_matches_xla():
                 a_ = np.asarray(g_xla[lvl][layer][leaf])
                 b_ = np.asarray(g_pal[lvl][layer][leaf])
                 scale = np.abs(a_).max() + 1e-8
+                # A sample landing exactly on an inverse-CDF bin boundary can
+                # route to the neighboring bin on one path (masked-extrema vs
+                # searchsorted tie-breaks), perturbing a handful of elements;
+                # bound the global error tightly and the per-element error
+                # loosely enough to tolerate those ties.
+                rel_l2 = np.linalg.norm(a_ - b_) / (np.linalg.norm(a_) + 1e-8)
+                assert rel_l2 < 1e-2, f"{lvl}/{layer}/{leaf}: rel_l2={rel_l2}"
                 np.testing.assert_allclose(
-                    b_ / scale, a_ / scale, rtol=1e-2, atol=1e-2,
+                    b_ / scale, a_ / scale, rtol=3e-2, atol=3e-2,
                     err_msg=f"{lvl}/{layer}/{leaf}",
                 )
