@@ -125,6 +125,7 @@ class SinNeRFTrainer:
         allow_random = getattr(hparams, "allow_random_pretrained", False)
         vit_params = None
         ref_feature = None
+        ref_feature_valid = None
         if hparams.vit_weight > 0:
             vit_path = getattr(hparams, "vit_weights", None)
             if not vit_path and not allow_random:
@@ -138,6 +139,10 @@ class SinNeRFTrainer:
             # per-item CLS cache: the reference caches per DDP rank
             # (sinnerf.py:272-275); one row per global-batch item.
             ref_feature = jnp.zeros((self.global_batch_size, 384))
+            # explicit cache-validity flag (False = refresh on first step);
+            # an all-zeros sentinel would re-refresh forever on a genuinely
+            # zero CLS row
+            ref_feature_valid = jnp.zeros((self.global_batch_size,), bool)
         vgg_params = None
         if hparams.loss_type == "l2_vgg":
             # The reference crashes on this combination too: its random-ray
@@ -148,6 +153,15 @@ class SinNeRFTrainer:
                 "--loss_type l2_vgg is unsupported (as in the reference, "
                 "where it crashes on ray bundles) — use --patch_loss l2_vgg "
                 "for the perceptual term on image patches."
+            )
+        if hparams.loss_type == "l2_ssim":
+            # Same failure class: the random-ray loss feeds flat (N, 3)
+            # bundles into the window-11 SSIM, which needs 4-D images — the
+            # reference crashes identically (losses.py:105 on ray bundles).
+            raise ValueError(
+                "--loss_type l2_ssim is unsupported (as in the reference, "
+                "where it crashes on ray bundles) — use --patch_loss l2_ssim "
+                "for the SSIM term on image patches."
             )
         if hparams.patch_loss == "l2_vgg":
             from sinnerf_tpu.models.vgg import load_vgg_params
@@ -173,6 +187,7 @@ class SinNeRFTrainer:
             ref_feature=ref_feature,
             vgg_params=vgg_params,
             step=jnp.zeros((), jnp.int32),
+            ref_feature_valid=ref_feature_valid,
         )
         self.start_epoch = 0
         if hparams.ckpt_path:  # full resume (train.py:46)
@@ -227,6 +242,12 @@ class SinNeRFTrainer:
             fields["ref_feature"] = jnp.broadcast_to(
                 rf[None], (self.global_batch_size, rf.shape[0])
             )
+        # migrate pre-validity-flag checkpoints: recover the flag from the
+        # old zeros sentinel (nonzero cached row == valid)
+        if fields.get("ref_feature") is not None and "ref_feature_valid" not in restored:
+            fields["ref_feature_valid"] = jnp.any(
+                fields["ref_feature"] != 0, axis=1
+            )
         self.state = TrainState(**fields)
         self.start_epoch = int(tree.get("epoch", 0))
 
@@ -245,8 +266,18 @@ class SinNeRFTrainer:
 
     # --------------------------------------------------------------- train
     def steps_per_epoch(self) -> int:
+        """Global optimizer steps per epoch.
+
+        DDP parity: pytorch-lightning 0.10 under ``distributed_backend='ddp'``
+        (reference train.py:51-52) wraps the train DataLoader in a
+        ``DistributedSampler``, so each of N ranks sees ~len/N items per
+        epoch and one reference "epoch" is ceil(len / (batch_size*num_gpus))
+        global steps — e.g. ceil(125/4)=32 at the published ``--num_gpus 4``.
+        Dividing by the *global* batch reproduces that, keeping the
+        ``--decay_step`` epoch boundaries on the same global step index.
+        """
         return max(
-            1, math.ceil(len(self.train_dataset) / self.hparams.batch_size)
+            1, math.ceil(len(self.train_dataset) / self.global_batch_size)
         )
 
     def fit(self, max_epochs: Optional[int] = None) -> float:

@@ -91,6 +91,10 @@ class TrainState(NamedTuple):
     ref_feature: Optional[jnp.ndarray]  # cached per-item CLS features (B, 384)
     vgg_params: Optional[Dict[str, Any]]  # frozen (l2_vgg patch loss)
     step: jnp.ndarray
+    # per-item cache-validity flag (B,) bool: False forces a ViT refresh on
+    # the next step.  An explicit flag rather than an all-zeros sentinel on
+    # ref_feature — a legitimately zero CLS row must not re-trigger refresh.
+    ref_feature_valid: Optional[jnp.ndarray] = None
 
 
 def _flat(x, c):
@@ -119,6 +123,7 @@ def compute_losses(
     epoch: jnp.ndarray,
     cfg: TrainConfig,
     vgg_params=None,
+    ref_feature_valid=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Return (total scalar loss, aux dict with metrics/new sn state)."""
     b, n_rand = batch["rays"].shape[:2]
@@ -192,8 +197,13 @@ def compute_losses(
         # ref_ is recomputed on the first step and refreshed with prob 0.05
         # thereafter (sinnerf.py:272-275).  The reference caches it per DDP
         # rank (= per item at batch_size 1), so the cache is (B, 384) with an
-        # independent refresh coin per item; state stores zeros initially.
-        first = jnp.all(ref_feature == 0, axis=1, keepdims=True)  # (B, 1)
+        # independent refresh coin per item.  "Uninitialized" is tracked by
+        # the explicit ref_feature_valid flag, not a zeros sentinel — a
+        # legitimately all-zero CLS row must not force refresh forever.
+        if ref_feature_valid is None:  # legacy callers: the old zeros sentinel
+            first = jnp.all(ref_feature == 0, axis=1, keepdims=True)
+        else:
+            first = ~ref_feature_valid[:, None]  # (B, 1)
         coin = jax.random.bernoulli(keys[1], cfg.vit_refresh_prob, (b, 1))
         refresh = coin | first
         # the ~0.95 of steps that refresh no item skip the ViT forward
@@ -214,8 +224,13 @@ def compute_losses(
         loss_vit = jnp.mean((sem_coarse - ref_feat) ** 2) + jnp.mean(
             (sem_fine - ref_feat) ** 2
         )
+        if ref_feature_valid is None:
+            new_ref_valid = None
+        else:
+            new_ref_valid = ref_feature_valid | refresh[:, 0]
     else:
         ref_feat = ref_feature
+        new_ref_valid = ref_feature_valid
         loss_vit = jnp.zeros(())
 
     # ---- patch depth supervision (sinnerf.py:354-387) ---------------------
@@ -352,6 +367,7 @@ def compute_losses(
         "metrics": metrics,
         "sn_state": new_sn,
         "ref_feature": ref_feat,
+        "ref_feature_valid": new_ref_valid,
         "images": {
             "real_patch": real_patch,
             "rgb_coarse_full": full_imgs["rgb_coarse"],
@@ -391,6 +407,7 @@ def train_step(
             epoch,
             cfg,
             vgg_params=state.vgg_params,
+            ref_feature_valid=state.ref_feature_valid,
         )
 
     if cfg.dis_weight > 0:
@@ -419,5 +436,6 @@ def train_step(
         ref_feature=aux["ref_feature"],
         vgg_params=state.vgg_params,
         step=state.step + 1,
+        ref_feature_valid=aux["ref_feature_valid"],
     )
     return new_state, {"metrics": aux["metrics"], "images": aux["images"]}

@@ -144,6 +144,44 @@ def test_vit_loss_path_runs(blender_root, tmp_path):
     assert float(jnp.abs(trainer.state.ref_feature).sum()) > 0
 
 
+def test_vit_cache_zero_row_does_not_force_refresh(blender_root, tmp_path):
+    """The cache-validity flag, not an all-zeros sentinel, decides refresh: a
+    legitimately zero CLS row with valid=True must survive a step with the
+    refresh coin disabled, while valid=False must force a refresh."""
+    import dataclasses
+
+    from sinnerf_tpu.train.step import compute_losses
+
+    hp = _hparams(blender_root, str(tmp_path), vit_weight=10.0)
+    trainer = SinNeRFTrainer(hp)
+    assert trainer.state.ref_feature_valid is not None
+    assert not bool(jnp.any(trainer.state.ref_feature_valid))  # fresh init
+
+    cfg = dataclasses.replace(trainer.cfg, vit_refresh_prob=0.0)
+    trainer.key, kb, ks = jax.random.split(trainer.key, 3)
+    batch = trainer.train_dataset.sample(kb, step=0, batch_size=1)
+
+    def run(valid):
+        _, aux = compute_losses(
+            trainer.state.params, None, None, trainer.state.vit_params,
+            jnp.zeros((1, 384)), batch, ks, jnp.asarray(0.0), cfg,
+            ref_feature_valid=jnp.asarray([valid]),
+        )
+        return aux
+
+    aux_valid = run(True)  # zero row + valid: no refresh, row stays zero
+    assert float(jnp.abs(aux_valid["ref_feature"]).sum()) == 0.0
+    assert bool(aux_valid["ref_feature_valid"][0])
+
+    aux_invalid = run(False)  # invalid: refresh fires despite coin p=0
+    assert float(jnp.abs(aux_invalid["ref_feature"]).sum()) > 0.0
+    assert bool(aux_invalid["ref_feature_valid"][0])
+
+    # the trainer's first real step flips the flag on
+    _run_steps(trainer, 1)
+    assert bool(jnp.all(trainer.state.ref_feature_valid))
+
+
 def test_wgan_gp_flavor_runs(blender_root, tmp_path):
     hp = _hparams(blender_root, str(tmp_path), dis_weight=0.01, dloss="wgan_gp")
     trainer = SinNeRFTrainer(hp)
@@ -234,6 +272,35 @@ def test_trainer_data_parallel_mesh(blender_root, tmp_path):
     # validation renders through the mesh-sharded path (render_chunked_sharded)
     val_psnr = trainer.validate(0, max_batches=1, log=False)
     assert np.isfinite(val_psnr) and val_psnr > 0
+
+
+def test_ddp_epoch_length_matches_reference(blender_root, tmp_path):
+    """PL 0.10 under ddp injects a DistributedSampler (reference
+    train.py:51-52), so one reference epoch at --num_gpus N is
+    ceil(len/N) *global* optimizer steps — ceil(125/4)=32 for the rot3d
+    bank at the published 4-GPU recipes, not 125.  Pins steps_per_epoch
+    to the global-batch division and the --decay_step 500 boundary to the
+    same global step index as the reference."""
+    hp1 = _hparams(blender_root, str(tmp_path), num_gpus=1)
+    t1 = SinNeRFTrainer(hp1)
+    assert len(t1.train_dataset) == 125  # the 5^3 rot3d pose bank
+    assert t1.steps_per_epoch() == 125
+
+    hp4 = _hparams(blender_root, str(tmp_path), num_gpus=4)
+    t4 = SinNeRFTrainer(hp4)
+    assert t4.global_batch_size == 4
+    assert t4.steps_per_epoch() == 32  # == math.ceil(125 / 4), the DDP count
+    # --decay_step 500 fires entering epoch 500 = global step 500*32, the
+    # same index a 4-rank reference run reaches after 500 DistributedSampler
+    # epochs of ceil(125/4) steps each.
+    assert 500 * t4.steps_per_epoch() == 16000
+    assert lr_for_epoch(hp4, 499) == pytest.approx(2e-4)
+    assert lr_for_epoch(hp4, 500) == pytest.approx(1e-4)
+
+    # per-chip batch_size > 1 multiplies the global batch
+    hp8 = _hparams(blender_root, str(tmp_path), num_gpus=4, batch_size=2)
+    t8 = SinNeRFTrainer(hp8)
+    assert t8.steps_per_epoch() == 16  # ceil(125 / 8)
 
 
 def test_llff_train_step_end_to_end(tmp_path):
@@ -379,6 +446,15 @@ def test_loss_type_l2_vgg_rejected(blender_root, tmp_path):
     --patch_loss l2_vgg remains the supported perceptual path."""
     hp = _hparams(blender_root, str(tmp_path), loss_type="l2_vgg")
     with pytest.raises(ValueError, match="l2_vgg"):
+        SinNeRFTrainer(hp)
+
+
+def test_loss_type_l2_ssim_rejected(blender_root, tmp_path):
+    """--loss_type l2_ssim crashes in the reference too (flat ray bundles
+    into the window-11 SSIM, losses.py:105); same fail-fast treatment as
+    l2_vgg.  --patch_loss l2_ssim remains supported on image patches."""
+    hp = _hparams(blender_root, str(tmp_path), loss_type="l2_ssim")
+    with pytest.raises(ValueError, match="l2_ssim"):
         SinNeRFTrainer(hp)
 
 
