@@ -191,3 +191,306 @@ def make_dtu_scene(
     with open(os.path.join(root, "Cameras", "pair.txt"), "w") as f:
         f.write("\n".join(pair_lines))
     return root
+
+
+# --------------------------------------------------------------------------
+# "Rich" multi-view-consistent scenes for convergence soaks.
+#
+# The default generators above produce per-image gradients that are NOT
+# consistent across views (fine for loader/warp unit tests, useless for
+# measuring converged val PSNR: the val image simply isn't explainable by
+# any radiance field).  The rich variants write the camera files first,
+# re-parse them with the dataset's OWN parser, then ray-trace an analytic
+# scene (lambertian textured spheres + a checkered back plane) from the
+# exact final poses with the exact final ray directions
+# (core/rays.get_ray_directions*).  Images, depth maps, and poses are then
+# multi-view consistent by construction, in each loader's own depth
+# convention (t along the unnormalized ray == z-depth, the same quantity
+# NeRF's depth head integrates), so the published recipes
+# (/root/reference/README.md:59-86) can genuinely converge on them.
+# --------------------------------------------------------------------------
+
+_LIGHT = np.array([0.45, 0.75, -0.49])
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
+def _make_objects(near_d, far_d, origin, forward, up, right, rng):
+    """Spheres + back plane placed inside the shared viewing frustum.
+
+    Distances are in the dataset's final "t" metric (z-depth along the view
+    axis).  Returns a dict consumed by :func:`_trace`."""
+    dmid = 0.5 * (near_d + far_d)
+    lat = 0.30 * dmid  # lateral spread (stay inside every frustum)
+    dep = 0.22 * (far_d - near_d)
+    cols = np.array(
+        [
+            [0.85, 0.25, 0.20],
+            [0.20, 0.70, 0.30],
+            [0.25, 0.35, 0.85],
+            [0.85, 0.75, 0.20],
+            [0.70, 0.25, 0.75],
+            [0.25, 0.75, 0.75],
+            [0.90, 0.55, 0.25],
+        ]
+    )
+    spheres = []
+    for k in range(7):
+        off = rng.uniform(-1, 1, 3) * np.array([lat, 0.6 * lat, dep])
+        center = (
+            origin
+            + forward * (dmid + off[2])
+            + right * off[0]
+            + up * off[1]
+        )
+        radius = dmid * rng.uniform(0.06, 0.13)
+        freq = rng.uniform(4.0, 9.0) / radius
+        spheres.append((center, radius, cols[k], freq))
+    # background: the interior of a large textured shell centered on the
+    # camera cluster — unlike a flat plane, the z-depth of every shell hit is
+    # bounded by shell_r + camera spread, so it stays inside [near, far] even
+    # for oblique corner rays
+    return {
+        "spheres": spheres,
+        "shell_c": origin,
+        "shell_r": 0.85 * far_d,
+    }
+
+
+def _trace(rays_o, rays_d, objs):
+    """Ray-trace the analytic scene.  rays_o/rays_d: (N, 3) world-frame,
+    rays_d UNNORMALIZED with unit component along the camera view axis so the
+    returned t is z-depth (the loaders' and NeRF's shared convention).
+    Returns (rgb (N, 3) in [0, 1], t (N,))."""
+    n = rays_d.shape[0]
+    rays_o = np.broadcast_to(rays_o, rays_d.shape)
+    tbest = np.full(n, np.inf)
+    rgb = np.zeros((n, 3), np.float64)
+
+    for center, radius, col, freq in objs["spheres"]:
+        oc = rays_o - center
+        a = (rays_d * rays_d).sum(-1)
+        b = (rays_d * oc).sum(-1)
+        c = (oc * oc).sum(-1) - radius * radius
+        disc = b * b - a * c
+        valid = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
+        closer = valid & (t > 1e-3) & (t < tbest)
+        if closer.any():
+            p = rays_o[closer] + t[closer, None] * rays_d[closer]
+            nrm = (p - center) / radius
+            lam = 0.35 + 0.65 * np.clip(nrm @ _LIGHT, 0, 1)
+            tex = 0.62 + 0.38 * (
+                np.sin(freq * p[:, 0])
+                * np.sin(freq * p[:, 1])
+                * np.sin(freq * p[:, 2])
+            )
+            rgb[closer] = col[None, :] * (lam * tex)[:, None]
+            tbest[closer] = t[closer]
+
+    # checkered shell interior (catches every remaining ray: the cameras sit
+    # inside the shell, so no pixel is left black => the warp validity mask
+    # (rgb-sum != 0, base.py build_proj_index) stays meaningful).  Rays start
+    # inside => take the FAR quadratic root (the exit point).
+    sc, sr = objs["shell_c"], objs["shell_r"]
+    oc = rays_o - sc
+    a = (rays_d * rays_d).sum(-1)
+    b = (rays_d * oc).sum(-1)
+    c = (oc * oc).sum(-1) - sr * sr
+    disc = np.maximum(b * b - a * c, 0.0)
+    tp = (-b + np.sqrt(disc)) / a
+    closer = (tp > 1e-3) & (tp < tbest)
+    if closer.any():
+        p = rays_o[closer] + tp[closer, None] * rays_d[closer]
+        rel = (p - sc) / sr
+        lon = np.arctan2(rel[:, 2], rel[:, 0])
+        lat = np.arcsin(np.clip(rel[:, 1], -1, 1))
+        s = 0.22  # checker angular size (radians)
+        check = ((np.floor(lon / s) + np.floor(lat / s)) % 2).astype(bool)
+        lam = 0.35 + 0.65 * np.clip((-rel) @ _LIGHT, 0, 1)
+        shade = 0.10 * np.sin(3.1 * lon) + 0.10 * np.cos(2.3 * lat)
+        base = np.where(check[:, None], 0.70, 0.35) + shade[:, None]
+        tint = np.array([[0.85, 0.92, 1.0]])
+        rgb[closer] = np.clip(base * tint * lam[:, None], 0.05, 1.0)
+        tbest[closer] = tp[closer]
+
+    # rays that somehow miss everything (cameras outside the shell would be
+    # a generator bug): dim gray at the shell radius
+    left = ~np.isfinite(tbest)
+    if left.any():
+        rgb[left] = 0.3
+        tbest[left] = sr
+    return np.clip(rgb, 0.0, 1.0).astype(np.float32), tbest.astype(np.float32)
+
+
+def make_llff_scene_rich(
+    root: str,
+    img_wh: Tuple[int, int] = (504, 378),
+    n_images: int = 10,
+    seed: int = 0,
+) -> str:
+    """Multi-view-consistent LLFF forward-facing capture.
+
+    Writes poses_bounds.npy (grid of laterally-offset forward-facing
+    cameras), re-parses it with ``llff._read_poses_bounds`` (centering +
+    scale), then traces the shared scene from every FINAL pose, saving
+    images/*.png and depth_nerf/*.npy in the final scaled frame — the frame
+    the reference's own NeRF-generated depth maps live in."""
+    from sinnerf_tpu.core.rays import get_ray_directions
+    from sinnerf_tpu.data.llff import _read_poses_bounds
+
+    w, h = img_wh
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth_nerf"), exist_ok=True)
+    focal = 1.1 * w
+    rng = np.random.default_rng(seed)
+
+    rows = []
+    for i in range(n_images):
+        # grid of lateral offsets, like a handheld forward-facing capture
+        gx = (i % 5) - 2.0
+        gy = (i // 5) - 0.5 * ((n_images - 1) // 5)
+        t = np.array(
+            [0.55 * gx, 0.40 * gy, 10.0 + 0.15 * rng.standard_normal()]
+        )
+        c2w_rub = np.concatenate([np.eye(3), t[:, None]], axis=1)
+        c2w_drb = np.concatenate(
+            [-c2w_rub[:, 1:2], c2w_rub[:, 0:1], c2w_rub[:, 2:4]], axis=1
+        )
+        hwf = np.array([h, w, focal]).reshape(3, 1)
+        rows.append(
+            np.concatenate(
+                [np.concatenate([c2w_drb, hwf], axis=1).reshape(-1), [7.0, 16.0]]
+            )
+        )
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(rows))
+
+    poses, _, (h0, w0, f0), near, far, _, _, _ = _read_poses_bounds(root)
+    focal_final = f0 * w / w0
+    dirs = np.asarray(get_ray_directions(h, w, focal_final)).reshape(-1, 3)
+
+    center = poses[..., 3].mean(0)
+    fwd = -poses[..., 2].mean(0)
+    fwd /= np.linalg.norm(fwd)
+    up = poses[..., 1].mean(0)
+    up /= np.linalg.norm(up)
+    right = np.cross(fwd, up)
+    objs = _make_objects(near, far, center, fwd, up, right, rng)
+
+    for i, pose in enumerate(poses):
+        o = np.broadcast_to(pose[:3, 3], dirs.shape)
+        d = dirs @ pose[:3, :3].T
+        rgb, t = _trace(o, d, objs)
+        _save_png(
+            os.path.join(root, "images", f"IMG_{i:04d}.png"),
+            rgb.reshape(h, w, 3),
+        )
+        np.save(
+            os.path.join(root, "depth_nerf", f"IMG_{i:04d}.npy"),
+            t.reshape(h, w),
+        )
+    return root
+
+
+def make_dtu_scene_rich(
+    root: str,
+    img_wh: Tuple[int, int] = (640, 512),
+    scan: int = 4,
+    n_src: int = 8,
+    seed: int = 0,
+) -> str:
+    """Multi-view-consistent DTU scan: cameras on an arc at ~600 raw units
+    looking at the origin, traced in the RAW frame (the loader scales by
+    1/200 afterwards).  PFM depth is written at 1/4 resolution in raw units,
+    matching MVSNet's outputs (the loader upsamples 4x and scales)."""
+    import cv2
+
+    from sinnerf_tpu.core.rays import get_ray_directions_pz
+
+    w, h = img_wh
+    cam_dir = os.path.join(root, "Cameras", "train")
+    rect_dir = os.path.join(root, f"Rectified/scan{scan}_train")
+    mvs_dir = os.path.join(root, f"MVSNet_pytorch_outputs/scan{scan}/depth_est")
+    for d in (cam_dir, rect_dir, mvs_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    f4 = 0.28 * w  # 1/4-res focal; loader multiplies by 4
+    k_full = np.array(
+        [[4 * f4, 0, w / 2], [0, 4 * f4, h / 2], [0, 0, 1.0]]
+    )
+    view_ids = [2] + [10 + i for i in range(n_src)]
+    cams = {}
+    for j, vid in enumerate(view_ids):
+        yaw = 0.24 * ((j - len(view_ids) / 2) / max(1, len(view_ids) - 1)) * 2
+        pitch = 0.10 * ((j % 3) - 1)
+        rot = (
+            pose_np.rot_phi(pitch)[:3, :3] @ pose_np.rot_theta(yaw)[:3, :3]
+        )
+        center = rot @ np.array([0.0, 0.0, -600.0])
+        z = -center / np.linalg.norm(center)  # +z convention: toward origin
+        up_w = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up_w, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.stack([x, y, z], axis=1)
+        c2w[:3, 3] = center
+        w2c = np.linalg.inv(c2w)
+        cams[vid] = c2w
+        lines = ["extrinsic"]
+        for r in range(4):
+            lines.append(" ".join(f"{v:.8f}" for v in w2c[r]))
+        lines += [
+            "",
+            "intrinsic",
+            f"{f4:.4f} 0 {w / 8:.4f}",
+            f"0 {f4:.4f} {h / 8:.4f}",
+            "0 0 1",
+            "",
+            "425.0 2.5",
+        ]
+        with open(os.path.join(cam_dir, f"{vid:08d}_cam.txt"), "w") as f:
+            f.write("\n".join(lines))
+
+    # scene in RAW units: near 425, far 425+2.5*192=905, cameras at 600
+    fwd_mean = np.mean(
+        [cams[v][:3, 2] for v in view_ids], axis=0
+    )
+    fwd_mean /= np.linalg.norm(fwd_mean)
+    origin_mean = np.mean([cams[v][:3, 3] for v in view_ids], axis=0)
+    up_mean = -np.mean([cams[v][:3, 1] for v in view_ids], axis=0)
+    up_mean /= np.linalg.norm(up_mean)
+    right_mean = np.cross(fwd_mean, up_mean)
+    objs = _make_objects(
+        425.0, 905.0, origin_mean, fwd_mean, up_mean, right_mean, rng
+    )
+
+    dirs = np.asarray(get_ray_directions_pz(h, w, k_full)).reshape(-1, 3)
+    for vid in view_ids:
+        c2w = cams[vid]
+        o = np.broadcast_to(c2w[:3, 3], dirs.shape)
+        d = dirs @ c2w[:3, :3].T
+        rgb, t = _trace(o, d, objs)
+        _save_png(
+            os.path.join(rect_dir, f"rect_{vid + 1:03d}_3_r5000.png"),
+            rgb.reshape(h, w, 3),
+        )
+        depth4 = cv2.resize(
+            t.reshape(h, w),
+            (w // 4, h // 4),
+            interpolation=cv2.INTER_AREA,
+        )
+        save_pfm(
+            os.path.join(mvs_dir, f"rect_{vid + 1:03d}_3_r5000.pfm"), depth4
+        )
+
+    pair_lines = [str(len(view_ids))]
+    for vid in view_ids:
+        pair_lines.append(str(vid))
+        others = [v for v in view_ids if v != vid]
+        pair_lines.append(
+            f"{len(others)} " + " ".join(f"{v} 100.0" for v in others)
+        )
+    with open(os.path.join(root, "Cameras", "pair.txt"), "w") as f:
+        f.write("\n".join(pair_lines))
+    return root

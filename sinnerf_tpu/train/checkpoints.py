@@ -43,23 +43,41 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 class TopKCheckpointManager:
     """Keep the best-k checkpoints by val/psnr plus a rolling 'last'
-    (train.py:34-35 semantics)."""
+    (train.py:34-35 semantics).
 
-    def __init__(self, ckpt_dir: str, top_k: int = 2):
+    The (score, name) ranking is embedded in every saved tree under
+    ``ckpt_best`` and restored on ``--ckpt_path`` resume, like Lightning
+    checkpoints carrying the ModelCheckpoint callback's best scores
+    (reference eval.py:132) — without it, pruning would restart empty after
+    a resume and stale best-k dirs would stop being tracked."""
+
+    def __init__(self, ckpt_dir: str, top_k: int = 2, best=None):
         self.ckpt_dir = ckpt_dir
         self.top_k = top_k
-        self.best: list[tuple[float, str]] = []
         os.makedirs(ckpt_dir, exist_ok=True)
+        # drop restored entries whose directory no longer exists on disk
+        self.best: list[tuple[float, str]] = [
+            (float(p), str(n))
+            for p, n in (best or [])
+            if os.path.isdir(os.path.join(ckpt_dir, str(n)))
+        ]
+        self.best.sort(key=lambda t: -t[0])
 
     def save(self, tree: Dict[str, Any], epoch: int, val_psnr: float) -> None:
-        save_checkpoint(self.ckpt_dir, "last", tree)
         name = f"epoch_{epoch}_psnr_{val_psnr:.2f}"
-        if len(self.best) < self.top_k or val_psnr > self.best[-1][0]:
-            save_checkpoint(self.ckpt_dir, name, tree)
+        keep = len(self.best) < self.top_k or val_psnr > self.best[-1][0]
+        dropped = []
+        if keep:
             self.best.append((val_psnr, name))
             self.best.sort(key=lambda t: -t[0])
             while len(self.best) > self.top_k:
-                _, drop = self.best.pop()
+                dropped.append(self.best.pop()[1])
+        tree = dict(tree)
+        tree["ckpt_best"] = [[float(p), n] for p, n in self.best]
+        save_checkpoint(self.ckpt_dir, "last", tree)
+        if keep:
+            save_checkpoint(self.ckpt_dir, name, tree)
+            for drop in dropped:
                 drop_path = os.path.join(self.ckpt_dir, drop)
                 if os.path.isdir(drop_path):
                     import shutil
@@ -72,18 +90,31 @@ class TopKCheckpointManager:
 # ---------------------------------------------------------------------------
 
 def load_torch_nerf_checkpoint(
-    path: str, nerf_only: bool = True
+    path: str, nerf_only: bool = True, prefixes_to_ignore=()
 ) -> Dict[str, Any]:
     """Load a reference (pytorch-lightning) checkpoint and extract the
-    coarse/fine NeRF weights as our param pytrees.
+    coarse/fine NeRF weights — plus, when ``nerf_only`` is False, the
+    discriminator (params + spectral-norm state) under ``d_params`` /
+    ``sn_state`` — as our param pytrees.
 
     Mirrors ``extract_model_state_dict``/``load_ckpt``
-    (utils/__init__.py:60-83) + the ``--nerf_only`` filter (train.py:24-30).
+    (utils/__init__.py:60-83), the ``--nerf_only`` filter (train.py:24-30),
+    and the whole-system ``load_state_dict(..., strict=False)`` branch
+    (train.py:31-33).  ``prefixes_to_ignore`` drops state-dict keys by
+    prefix like ``extract_model_state_dict`` does (the reference declares
+    the flag in opt.py:42 but never routes it from train.py; we honor it
+    in this, the analogous partial-load path).
     """
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    if prefixes_to_ignore:
+        state = {
+            k: v
+            for k, v in state.items()
+            if not any(k.startswith(p) for p in prefixes_to_ignore)
+        }
     out: Dict[str, Any] = {}
     for name, prefix in (("coarse", "nerf_coarse."), ("fine", "nerf_fine.")):
         try:
@@ -103,4 +134,20 @@ def load_torch_nerf_checkpoint(
                 break
     if not out:
         raise KeyError(f"no NeRF weights found in {path}")
+    if not nerf_only:
+        # whole-system load (train.py:31-33): also pick up the discriminator
+        # if the checkpoint carries one (keys 'D.main.<i>.weight_orig', ...)
+        from sinnerf_tpu.models.discriminator import (
+            import_torch_discriminator_state,
+        )
+
+        for d_prefix in ("D.", "model.D.", "module.D."):
+            try:
+                d_params, sn_state = import_torch_discriminator_state(
+                    state, prefix=d_prefix
+                )
+                out["d_params"], out["sn_state"] = d_params, sn_state
+                break
+            except KeyError:
+                pass
     return out

@@ -111,15 +111,21 @@ class SinNeRFTrainer:
             "coarse": init_nerf_params(init_keys[0]),
             "fine": init_nerf_params(init_keys[1]),
         }
+        warm = None
         if hparams.pt_model:  # warm start (train.py:22-33)
-            loaded = self._load_any_checkpoint(hparams.pt_model)
-            params.update(loaded)
+            warm = self._load_any_checkpoint(hparams.pt_model)
+            params.update(
+                {k: warm[k] for k in ("coarse", "fine") if k in warm}
+            )
         d_params, sn_state, opt_d_state = None, None, None
         self.opt_d = None
         if hparams.dis_weight > 0:
             d_params, sn_state = init_discriminator(
                 init_keys[2], hparams.patch_size
             )
+            if warm is not None and "d_params" in warm:
+                # whole-system warm start includes D (train.py:31-33)
+                d_params, sn_state = warm["d_params"], warm["sn_state"]
             self.opt_d = get_optimizer(hparams, rate=0.2)  # sinnerf.py:208
             opt_d_state = self.opt_d.init(d_params)
         allow_random = getattr(hparams, "allow_random_pretrained", False)
@@ -202,7 +208,9 @@ class SinNeRFTrainer:
 
         # ---- logging / checkpoints ---------------------------------------
         self.ckpt_manager = TopKCheckpointManager(
-            os.path.join(hparams.ckpt_dir, hparams.exp_name), top_k=2
+            os.path.join(hparams.ckpt_dir, hparams.exp_name),
+            top_k=2,
+            best=getattr(self, "_restored_ckpt_best", None),
         )
         self.writer = self._make_writer()
 
@@ -218,13 +226,33 @@ class SinNeRFTrainer:
             return None
 
     def _load_any_checkpoint(self, path: str) -> Dict[str, Any]:
-        """Accept either our orbax checkpoints or reference torch ckpts."""
+        """Accept either our orbax checkpoints or reference torch ckpts.
+
+        Returns a dict with ``coarse``/``fine`` NeRF params and — when
+        ``--nerf_only`` is absent, matching the reference's whole-system
+        ``load_state_dict(..., strict=False)`` (train.py:31-33) — also
+        ``d_params``/``sn_state`` if the checkpoint carries a discriminator.
+        """
+        nerf_only = getattr(self.hparams, "nerf_only", False)
         if os.path.isdir(path):
             tree = load_checkpoint(path)
-            params = tree["params"] if "params" in tree else tree
-            return {k: params[k] for k in ("coarse", "fine") if k in params}
+            # our checkpoints nest the live TrainState under 'state'
+            state = tree.get("state", tree)
+            params = state.get("params", state)
+            out = {k: params[k] for k in ("coarse", "fine") if k in params}
+            if not out:
+                raise KeyError(f"no NeRF weights found in {path}")
+            if not nerf_only:
+                for k in ("d_params", "sn_state"):
+                    if state.get(k) is not None:
+                        out[k] = state[k]
+            return out
         return load_torch_nerf_checkpoint(
-            path, nerf_only=getattr(self.hparams, "nerf_only", False)
+            path,
+            nerf_only=nerf_only,
+            prefixes_to_ignore=tuple(
+                getattr(self.hparams, "prefixes_to_ignore", None) or ()
+            ),
         )
 
     def _resume(self, path: str) -> None:
@@ -250,6 +278,9 @@ class SinNeRFTrainer:
             )
         self.state = TrainState(**fields)
         self.start_epoch = int(tree.get("epoch", 0))
+        # restore the top-k manager's (score, name) ranking so pruning
+        # continues across the restart (Lightning parity, eval.py:132)
+        self._restored_ckpt_best = tree.get("ckpt_best", None)
 
     def _save(self, epoch: int, val_psnr: float) -> None:
         tree = {

@@ -476,3 +476,157 @@ def test_resume_migrates_flat_ref_feature(blender_root, tmp_path):
     mgr.save({"state": legacy_state, "epoch": 0}, 0, 1.0)
     trainer._resume(os.path.join(legacy_dir, "last"))
     assert trainer.state.ref_feature.shape == (trainer.global_batch_size, 384)
+
+
+def test_pt_model_orbax_warm_start_loads_params(blender_root, tmp_path):
+    """Regression: our orbax checkpoints nest params under 'state', and the
+    warm-start path used to look for a top-level 'params' key — silently
+    loading NOTHING from --pt_model <orbax dir>."""
+    hp = _hparams(blender_root, str(tmp_path))
+    trainer = SinNeRFTrainer(hp)
+    _run_steps(trainer, 2)
+    trainer._save(0, 11.0)
+    ckpt = os.path.join(hp.ckpt_dir, "test", "last")
+
+    hp2 = _hparams(blender_root, str(tmp_path), pt_model=ckpt, exp_name="warm")
+    trainer2 = SinNeRFTrainer(hp2)
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.params["coarse"]["sigma"]["w"]),
+        np.asarray(trainer.state.params["coarse"]["sigma"]["w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.params["fine"]["sigma"]["w"]),
+        np.asarray(trainer.state.params["fine"]["sigma"]["w"]),
+    )
+    # warm start, not resume: optimizer/step state stays fresh
+    assert int(trainer2.state.step) == 0
+
+
+def _fake_reference_system_ckpt(path, d_imsize=-1):
+    """A reference-shaped pytorch-lightning checkpoint: full SinNeRF system
+    (nerf_coarse + nerf_fine + discriminator D with spectral-norm buffers)."""
+    import torch
+
+    from sinnerf_tpu.models.discriminator import init_discriminator
+    from sinnerf_tpu.models.nerf import export_torch_state, init_nerf_params
+
+    key = jax.random.key(7)
+    kc, kf, kd = jax.random.split(key, 3)
+    coarse, fine = init_nerf_params(kc), init_nerf_params(kf)
+    d_params, sn_state = init_discriminator(kd, d_imsize)
+    sd = {}
+    sd.update(export_torch_state(coarse, "nerf_coarse."))
+    sd.update(export_torch_state(fine, "nerf_fine."))
+    for i, (conv, u) in enumerate(zip(d_params["convs"], sn_state["convs"])):
+        sd[f"D.main.{i}.weight_orig"] = torch.tensor(np.asarray(conv["w"]))
+        sd[f"D.main.{i}.weight_u"] = torch.tensor(np.asarray(u["u"]))
+    sd["loss.dummy"] = torch.zeros(3)  # the default prefixes_to_ignore target
+    sd = {
+        k: torch.tensor(np.asarray(v)) if not isinstance(v, torch.Tensor) else v
+        for k, v in sd.items()
+    }
+    torch.save({"state_dict": sd}, path)
+    return coarse, fine, d_params, sn_state
+
+
+def test_pt_model_full_system_torch_warm_start(blender_root, tmp_path):
+    """--pt_model WITHOUT --nerf_only loads the whole system incl. the
+    discriminator + its spectral-norm state (reference train.py:31-33)."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    ckpt = str(tmp_path / "system.ckpt")
+    coarse, fine, d_params, sn_state = _fake_reference_system_ckpt(ckpt)
+
+    hp = _hparams(
+        blender_root, str(tmp_path), pt_model=ckpt, dis_weight=0.01,
+        nerf_only=False,
+    )
+    trainer = SinNeRFTrainer(hp)
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.params["coarse"]["sigma"]["w"]),
+        np.asarray(coarse["sigma"]["w"]), rtol=1e-6,
+    )
+    for i, conv in enumerate(d_params["convs"]):
+        np.testing.assert_allclose(
+            np.asarray(trainer.state.d_params["convs"][i]["w"]),
+            np.asarray(conv["w"]), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(trainer.state.sn_state["convs"][i]["u"]),
+            np.asarray(sn_state["convs"][i]["u"]), rtol=1e-6,
+        )
+
+    # --nerf_only keeps the freshly initialized discriminator (train.py:24-30)
+    hp2 = _hparams(
+        blender_root, str(tmp_path), pt_model=ckpt, dis_weight=0.01,
+        nerf_only=True, exp_name="nerfonly",
+    )
+    trainer2 = SinNeRFTrainer(hp2)
+    assert not np.allclose(
+        np.asarray(trainer2.state.d_params["convs"][0]["w"]),
+        np.asarray(d_params["convs"][0]["w"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.params["fine"]["sigma"]["w"]),
+        np.asarray(fine["sigma"]["w"]), rtol=1e-6,
+    )
+
+
+def test_prefixes_to_ignore_honored(blender_root, tmp_path):
+    """--prefixes_to_ignore drops state-dict keys by prefix in the pt_model
+    partial load (extract_model_state_dict, utils/__init__.py:60-74)."""
+    pytest.importorskip("torch")
+    ckpt = str(tmp_path / "system2.ckpt")
+    coarse, fine, _, _ = _fake_reference_system_ckpt(ckpt)
+
+    hp = _hparams(
+        blender_root, str(tmp_path), pt_model=ckpt,
+        prefixes_to_ignore=["loss", "nerf_fine"],
+    )
+    trainer = SinNeRFTrainer(hp)
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.params["coarse"]["sigma"]["w"]),
+        np.asarray(coarse["sigma"]["w"]), rtol=1e-6,
+    )
+    # the ignored fine net keeps its fresh random init
+    assert not np.allclose(
+        np.asarray(trainer.state.params["fine"]["sigma"]["w"]),
+        np.asarray(fine["sigma"]["w"]),
+    )
+
+
+def test_topk_manager_state_persists_across_resume(tmp_path):
+    """The (score, name) top-k ranking rides inside every checkpoint and a
+    restored manager keeps pruning correctly (Lightning carries the callback
+    best scores the same way, reference eval.py:132)."""
+    from sinnerf_tpu.train.checkpoints import (
+        TopKCheckpointManager,
+        load_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    tree = {"x": np.zeros(2)}
+    mgr = TopKCheckpointManager(d, top_k=2)
+    mgr.save(tree, 0, 10.0)
+    mgr.save(tree, 1, 12.0)
+    mgr.save(tree, 2, 11.0)  # prunes epoch 0 (10.0)
+    assert not os.path.isdir(os.path.join(d, "epoch_0_psnr_10.00"))
+
+    best = load_checkpoint(os.path.join(d, "last"))["ckpt_best"]
+    mgr2 = TopKCheckpointManager(d, top_k=2, best=best)
+    assert [round(p, 2) for p, _ in mgr2.best] == [12.0, 11.0]
+    mgr2.save(tree, 3, 13.0)  # must prune 11.0, keep 12.0 + 13.0
+    assert os.path.isdir(os.path.join(d, "epoch_3_psnr_13.00"))
+    assert os.path.isdir(os.path.join(d, "epoch_1_psnr_12.00"))
+    assert not os.path.isdir(os.path.join(d, "epoch_2_psnr_11.00"))
+
+
+def test_trainer_resume_restores_topk_state(blender_root, tmp_path):
+    hp = _hparams(blender_root, str(tmp_path))
+    trainer = SinNeRFTrainer(hp)
+    _run_steps(trainer, 1)
+    trainer._save(0, 9.0)
+    trainer._save(1, 10.0)
+    ckpt = os.path.join(hp.ckpt_dir, "test", "last")
+    hp2 = _hparams(blender_root, str(tmp_path), ckpt_path=ckpt)
+    trainer2 = SinNeRFTrainer(hp2)
+    assert [round(p, 2) for p, _ in trainer2.ckpt_manager.best] == [10.0, 9.0]
