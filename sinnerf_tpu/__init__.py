@@ -24,15 +24,12 @@ Design principles (vs. the PyTorch reference at /root/reference):
 __version__ = "0.1.0"
 
 # TPU env defaults (the raised scoped-VMEM limit the train backward tile
-# needs — see utils/cache.configure_tpu_env) must be in place before the TPU
-# plugin initializes.  Setting them at package import covers every realistic
-# use — you cannot reach the kernels without importing the package — not just
-# the CLI entry points.  Inlined (no submodule import) so this runs before
-# anything else the package pulls in; user-provided values are respected.
-import os as _os
+# needs) must be in place before the TPU plugin initializes.  Setting them at
+# package import covers every realistic use — you cannot reach the kernels
+# without importing the package — not just the CLI entry points.  The flag
+# and guard live in sinnerf_tpu._env (imports nothing but os, so it runs
+# before anything else the package pulls in); utils.cache.configure_tpu_env
+# delegates to the same module, so the two call sites cannot drift.
+from sinnerf_tpu._env import configure_tpu_env as _configure_tpu_env
 
-if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
-    _os.environ["LIBTPU_INIT_ARGS"] = (
-        _os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=32768"
-    ).strip()
+_configure_tpu_env()

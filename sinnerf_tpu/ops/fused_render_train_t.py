@@ -29,11 +29,12 @@ Per-sample cotangents:
   dL/dsig_s = dL/da_s * (1 - a_s) * delta_s * [sigma_s + noise_s > 0]
   dL/drgb_s = w_s * g_rgb
 
-Input cotangents (rays, z, noise) are NOT computed — the wrapper returns
-zeros for them.  The caller (``render/renderer.py`` training path) wraps
-those inputs in ``stop_gradient``; do not use this entry to differentiate
-with respect to rays or depths (the eval-path ``fused_render_level`` has a
-general VJP).
+Input cotangents (rays, z, noise) are NOT computed — the public wrapper
+applies ``stop_gradient`` to those inputs itself, so the custom VJP's zero
+cotangents are correct by construction rather than resting on caller
+discipline.  Do not use this entry to differentiate with respect to rays
+or depths (e.g. pose/depth refinement): use the XLA renderer path
+(``mlp_impl='xla'``), which carries the full input-gradient chain.
 
 Sigma noise (``rendering.py:223-224``): drawn OUTSIDE as (N, S) with the
 same key/shape as ``core.composite.compute_weights`` (bit-identical stream)
@@ -471,7 +472,7 @@ def _run_fwd(params, rays_t, z_vals, noise, use_new_activation, white_back,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_render_level_train(
+def _fused_render_level_train_vjp(
     params: Dict[str, Any],
     rays_t: jnp.ndarray,   # (>=6, N) f32: o 0:3, d 3:6 (unnormalized)
     z_vals: jnp.ndarray,   # (N, S) ascending sample depths
@@ -595,4 +596,31 @@ def _frlt_bwd(use_new_activation, white_back, compute_dtype, res, g):
     return params_grad, d_rays, d_z, d_noise
 
 
-fused_render_level_train.defvjp(_frlt_fwd, _frlt_bwd)
+_fused_render_level_train_vjp.defvjp(_frlt_fwd, _frlt_bwd)
+
+
+def fused_render_level_train(
+    params: Dict[str, Any],
+    rays_t: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    noise: Optional[jnp.ndarray],
+    use_new_activation: bool = True,
+    white_back: bool = False,
+    compute_dtype: str = "float32",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Public entry: stop_gradient rays/z/noise BEFORE the custom-VJP kernel
+    so its zero input-cotangents are correct by construction — a caller that
+    (wrongly) tries to differentiate w.r.t. ray geometry through this kernel
+    gets the same zeros plain ``stop_gradient`` semantics give, not silently
+    wrong values from an unimplemented gradient chain.  Pose/depth
+    refinement must use the XLA path (renderer mlp_impl='xla'), which has
+    the full input-gradient chain."""
+    return _fused_render_level_train_vjp(
+        params,
+        jax.lax.stop_gradient(rays_t),
+        jax.lax.stop_gradient(z_vals),
+        None if noise is None else jax.lax.stop_gradient(noise),
+        use_new_activation,
+        white_back,
+        compute_dtype,
+    )

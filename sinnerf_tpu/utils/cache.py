@@ -8,20 +8,11 @@ from __future__ import annotations
 
 import os
 
-# The default 16MB scoped-VMEM compiler budget blocks the train backward
-# kernel's best tile (R_TRAIN_BWD=1024 needs ~21MB of a v5e's 128MB VMEM;
-# measured: 123.5 -> 121.2ms per train fwd+bwd).  This is a libtpu flag —
-# host XLA_FLAGS rejects it — and must be in the env BEFORE the TPU plugin
-# initializes, which is why it lives next to the cache setup every entry
-# point calls first.
-_SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
-
-
-def configure_tpu_env() -> None:
-    """Append our libtpu defaults unless the user already set that flag."""
-    current = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "xla_tpu_scoped_vmem_limit_kib" not in current:
-        os.environ["LIBTPU_INIT_ARGS"] = f"{current} {_SCOPED_VMEM_FLAG}".strip()
+# Re-exported from the single source of truth (sinnerf_tpu._env): the raised
+# scoped-VMEM limit must be set before the TPU plugin initializes, and every
+# CLI entry point calls configure_tpu_env via enable_persistent_cache.
+from sinnerf_tpu._env import SCOPED_VMEM_FLAG as _SCOPED_VMEM_FLAG  # noqa: F401
+from sinnerf_tpu._env import configure_tpu_env
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:

@@ -470,3 +470,46 @@ def test_renderer_pallas_stochastic_training_path_matches_xla():
                     b_ / scale, a_ / scale, rtol=3e-2, atol=3e-2,
                     err_msg=f"{lvl}/{layer}/{leaf}",
                 )
+
+
+def test_fused_render_level_train_input_grads_are_stop_gradient_zeros():
+    """The public train-kernel entry stop_gradients rays/z/noise itself, so a
+    caller differentiating w.r.t. ray geometry gets exact stop_gradient
+    semantics (zeros) by construction — never silently-wrong values from the
+    params-only custom VJP (ADVICE r2: safety used to rest on renderer
+    discipline alone)."""
+    from sinnerf_tpu.ops.fused_render_train_t import fused_render_level_train
+
+    params = init_nerf_params(jax.random.key(3))
+    rng = np.random.default_rng(3)
+    n, s = 16, 8
+    rays_t = jnp.asarray(rng.normal(size=(6, n)).astype(np.float32))
+    z = jnp.asarray(np.sort(rng.uniform(2, 6, size=(n, s)).astype(np.float32)))
+
+    def loss_wrt_rays(r):
+        rgb, depth, w = fused_render_level_train(params, r, z, None)
+        return jnp.sum(rgb) + jnp.sum(depth)
+
+    g_rays = jax.grad(loss_wrt_rays)(rays_t)
+    np.testing.assert_array_equal(np.asarray(g_rays), 0.0)
+
+    def loss_wrt_z(zz):
+        rgb, depth, w = fused_render_level_train(params, rays_t, zz, None)
+        return jnp.sum(rgb * depth[:, None])
+
+    g_z = jax.grad(loss_wrt_z)(z)
+    np.testing.assert_array_equal(np.asarray(g_z), 0.0)
+
+    # params grads still flow through the public wrapper (sigma noise makes
+    # some samples clear the relu gate at a random init)
+    noise = jnp.asarray(rng.normal(size=(n, s)).astype(np.float32)) * 3.0
+
+    def loss_params(p):
+        rgb, depth, w = fused_render_level_train(p, rays_t, z, noise)
+        return jnp.sum(rgb) + jnp.sum(depth)
+
+    g_p = jax.grad(loss_params)(params)
+    total = sum(
+        float(jnp.abs(leaf).sum()) for leaf in jax.tree_util.tree_leaves(g_p)
+    )
+    assert total > 0
