@@ -27,7 +27,7 @@ from sinnerf_tpu.core.encoding import (
     positional_encoding,
     positional_encoding_blocked_t,
 )
-from sinnerf_tpu.core.sampling import merge_sorted, sample_pdf, stratified_z_vals
+from sinnerf_tpu.core.sampling import sample_pdf, stratified_z_vals
 from sinnerf_tpu.models.nerf import Params, nerf_apply, nerf_apply_t
 
 N_FREQS_XYZ = 10  # models/sinnerf.py:133
