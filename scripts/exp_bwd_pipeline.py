@@ -180,7 +180,7 @@ def _exp_bwd_kernel(
     zero7 = jnp.zeros((RAY_OUT - 1, r), jnp.float32)
     const_x = jnp.ones((XYZ_PAD, r), cd) * 0.01
 
-    def chain(s, da_alpha, dad_acc):
+    def chain(s, da_alpha, dad_acc, x_pre=None):
         """Recompute + backprop one sample; returns updated dwdx accumulator."""
         z_s = z_ref[pl.ds(s, 1), :]
         s_next = jnp.minimum(s + 1, n_samples - 1)
@@ -189,8 +189,15 @@ def _exp_bwd_kernel(
         w_s = w_ref[pl.ds(s, 1), :]
         a_s = a_ref[pl.ds(s, 1), :]
 
-        if const_pe:
+        if x_pre is not None:
+            x = x_pre
+        elif const_pe:
             x = const_x
+        elif "cheap_pe" in abl:
+            # data-dependent (so the h-chain cannot be hoisted like the
+            # const_pe/mxu_floor ablation allows) but trivially cheap:
+            # isolates the true cost of the PE ladder + (64, R) concat
+            x = (jnp.ones((XYZ_PAD, r), jnp.float32) * z_ref[pl.ds(s, 1), :] * 0.01).astype(cd)
         else:
             xyz = o3 + d3 * z_s
             sx, cx = _pe_fwd(xyz, N_FREQS_XYZ)
@@ -265,7 +272,31 @@ def _exp_bwd_kernel(
         bsum(db1, da1)
         return dad_acc + da_d.astype(jnp.float32)
 
-    if n_streams == 1:
+    def pe_at(s):
+        z_s = z_ref[pl.ds(s, 1), :]
+        xyz = o3 + d3 * z_s
+        sx, cx = _pe_fwd(xyz, N_FREQS_XYZ)
+        return _pe_concat(xyz, sx, cx, XYZ_PAD - XYZ_CH, cd)
+
+    if "pe_pipe" in abl:
+        # software-pipelined PE: x for sample s+1 is computed at the END of
+        # iteration s, so the ~20-step VPU recurrence (the mxu_floor ablation
+        # shows it costs ~14ms non-overlapped at the chain head) runs
+        # concurrently with the backprop dots instead of stalling the MXU.
+        def body_mlp(s, carry):
+            trans, dad_acc, x_cur = carry
+            a_s = a_ref[pl.ds(s, 1), :]
+            da_alpha = c_at(s) * trans + dsig_scr[pl.ds(s, 1), :]
+            dad_acc = chain(s, da_alpha, dad_acc, x_pre=x_cur)
+            x_next = pe_at(jnp.minimum(s + 1, n_samples - 1))
+            return trans * (1.0 - a_s + 1e-10), dad_acc, x_next
+
+        _, dad_acc, _ = jax.lax.fori_loop(
+            0, n_samples, body_mlp,
+            (jnp.ones((1, r), jnp.float32), jnp.zeros((128, r), jnp.float32),
+             pe_at(0)),
+        )
+    elif n_streams == 1:
         def body_mlp(s, carry):
             trans, dad_acc = carry
             a_s = a_ref[pl.ds(s, 1), :]
@@ -332,7 +363,7 @@ def run_variant(variant, r_tile, n_streams, inputs, check_against=None):
     ]
     kernel = functools.partial(
         _exp_bwd_kernel, n_samples=s, cdtype="bfloat16",
-        abl=frozenset() if variant in ("base", "two_stream") else frozenset([variant]),
+        abl=frozenset() if variant in ("base", "two_stream") else frozenset([variant]),  # pe_pipe rides abl but is exact
         n_streams=n_streams,
     )
     call = pl.pallas_call(
@@ -394,15 +425,11 @@ def main():
 
     inputs = (rays_t, z_vals, params, w_t, a_t, rgb_t, g)
     results = {}
-    for variant, r_tile, streams in [
-        ("base", 1024, 1),
-        ("no_db", 1024, 1),
-        ("no_mask", 1024, 1),
-        ("no_dw", 1024, 1),
-        ("mxu_floor", 1024, 1),
-        ("two_stream", 512, 2),
-        ("two_stream", 1024, 2),
-    ]:
+    default = "base:1024:1,no_db:1024:1,no_mask:1024:1,no_dw:1024:1,mxu_floor:1024:1,two_stream:512:2,two_stream:1024:2"
+    spec = os.environ.get("EXP_VARIANTS", default)
+    for entry in spec.split(","):
+        variant, r_tile, streams = entry.split(":")
+        r_tile, streams = int(r_tile), int(streams)
         tag = f"{variant}_r{r_tile}_x{streams}"
         try:
             dt = run_variant(variant, r_tile, streams, inputs)

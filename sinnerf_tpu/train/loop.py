@@ -364,9 +364,12 @@ class SinNeRFTrainer:
                     self.opt_d,
                 )
                 step = int(self.state.step)
-                if step % 10 == 0:
-                    self._log_scalars(out["metrics"], step, lr)
-                    self._log_images(out["images"], step)
+                if step % 10 == 0 and self.writer:
+                    # one batched host fetch for the whole log payload: per-
+                    # leaf np.asarray would pay the ~30ms axon RTT per array
+                    host_out = jax.device_get(out)
+                    self._log_scalars(host_out["metrics"], step, lr)
+                    self._log_images(host_out["images"], step)
             dt = time.time() - t0
             if self.writer:
                 self.writer.add_scalar("train/epoch_time", dt, epoch)
