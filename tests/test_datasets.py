@@ -208,3 +208,72 @@ def test_blender_warp_patch_consistency(blender_root):
         np.isclose(ref_rays, depth_ray[i]).all(axis=1).any()
         for i in range(0, PSX * PSY, 37)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich multi-view-consistent scenes (the soak-scale generators)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rich_llff_root(tmp_path_factory):
+    from sinnerf_tpu.data.synthetic import make_llff_scene_rich
+
+    return make_llff_scene_rich(
+        str(tmp_path_factory.mktemp("rich_llff")), img_wh=(126, 94), n_images=10
+    )
+
+
+@pytest.fixture(scope="module")
+def rich_dtu_root(tmp_path_factory):
+    from sinnerf_tpu.data.synthetic import make_dtu_scene_rich
+
+    return make_dtu_scene_rich(
+        str(tmp_path_factory.mktemp("rich_dtu")), img_wh=(160, 128), n_src=8
+    )
+
+
+def test_rich_llff_scene_multiview_consistent(rich_llff_root):
+    """The z-buffer warp of the reference view into every other pose must
+    agree with the tracer's own render of that pose (same analytic scene) on
+    valid pixels — the property that makes converged val PSNR meaningful."""
+    from sinnerf_tpu.data.base import load_image
+    from sinnerf_tpu.data.llff import LLFFProj
+
+    ds = LLFFProj(
+        rich_llff_root, split="train", img_wh=(126, 94),
+        patch_size_x=63, patch_size_y=84, sW=1, sH=1,
+    )
+    bank = np.asarray(ds.scene["bank_rgb"])
+    for k in range(len(ds.image_paths)):
+        true = load_image(ds.image_paths[k], (126, 94))
+        valid = bank[k].sum(-1) != 0
+        assert valid.mean() > 0.5, f"pose {k}: warp coverage too low"
+        err = ((bank[k] - true) ** 2)[valid].mean()
+        psnr = -10 * np.log10(err)
+        assert psnr > 22, f"pose {k}: warp vs true render {psnr:.1f} dB"
+    # depth strictly inside the parsed frustum
+    rd = np.asarray(ds.scene["ref_depth"])
+    assert rd.min() > ds.near and rd.max() < ds.far
+
+
+def test_rich_dtu_scene_multiview_consistent(rich_dtu_root):
+    from sinnerf_tpu.data.base import load_image
+    from sinnerf_tpu.data.dtu import DTUProj
+
+    ds = DTUProj(
+        rich_dtu_root, split="train", img_wh=(160, 128),
+        patch_size_x=56, patch_size_y=70, sW=1, sH=1,
+    )
+    bank = np.asarray(ds.scene["bank_rgb"])
+    for k, vid in enumerate(ds.src_views):
+        true = load_image(ds._img_path(vid), (160, 128), resample="bilinear")
+        valid = bank[k].sum(-1) != 0
+        assert valid.mean() > 0.4, f"src {vid}: warp coverage too low"
+        err = ((bank[k] - true) ** 2)[valid].mean()
+        psnr = -10 * np.log10(err)
+        assert psnr > 20, f"src {vid}: warp vs true render {psnr:.1f} dB"
+    rd = np.asarray(ds.scene["ref_depth"])
+    assert rd.min() > ds.near and rd.max() < ds.far
+    # mean_gt_001 patch rejection must accept this scene (depth ~2.5-4.0)
+    assert rd.mean() > 0.01
