@@ -31,6 +31,7 @@ make_llff_scene_rich('$ROOT', img_wh=(504, 378), n_images=10)"
     --depth_smooth_weight 0 --num_gpus 1 --load_depth --depth_type nerf
     --model sinnerf --depth_weight 8 --ckpt_dir "$CK" --log_dir "$LOG"
     --check_val_every_n_epoch 50)
+  EXP1=llff_room_s4 EXP2=llff_room_s4_2ft
   S1=(--num_epochs "$E1" --lr 2e-4 --sW 4 --sH 4 --dis_weight 0
     --vit_weight 10 --allow_random_pretrained --exp_name llff_room_s4)
   S2=(--num_epochs "$E2" --lr 5e-5 --sW 2 --sH 2 --dis_weight 0.01
@@ -52,6 +53,7 @@ make_dtu_scene_rich('$ROOT', img_wh=(640, 512), n_src=8)"
     --depth_smooth_weight 0 --num_gpus 1 --load_depth --depth_type nerf
     --model sinnerf --depth_weight 8 --ckpt_dir "$CK" --log_dir "$LOG"
     --check_val_every_n_epoch 50)
+  EXP1=dtu_scan4_s8 EXP2=dtu_scan4_s8_4ft
   S1=(--num_epochs "$E1" --lr 2e-4 --sW 8 --sH 8 --dis_weight 0
     --vit_weight 10 --allow_random_pretrained --exp_name dtu_scan4_s8)
   S2=(--num_epochs "$E2" --lr 5e-5 --sW 4 --sH 4 --dis_weight 0.01
@@ -64,9 +66,28 @@ else
   echo "unknown family: $FAMILY" >&2; exit 2
 fi
 
+# The axon tunnel occasionally drops a remote-compile response mid-read
+# (INTERNAL: response body closed...); retry, resuming from the last
+# checkpoint when one exists.
+run_train() {
+  local exp=$1; shift
+  local attempt
+  for attempt in 1 2 3 4; do
+    local extra=()
+    [ -d "$CK/$exp/last" ] && extra=(--ckpt_path "$CK/$exp/last")
+    if python train.py "$@" "${extra[@]}"; then
+      return 0
+    fi
+    echo "--- train $exp attempt $attempt failed (rc=$?); retrying ---"
+    sleep 30
+  done
+  echo "train $exp failed after 4 attempts" >&2
+  return 1
+}
+
 echo "=== $FAMILY Step-1 ($E1 epochs) ==="
-python train.py "${COMMON[@]}" "${S1[@]}"
+run_train "$EXP1" "${COMMON[@]}" "${S1[@]}"
 echo "=== $FAMILY Step-2 ($E2 epochs) ==="
-python train.py "${COMMON[@]}" "${S2[@]}"
+run_train "$EXP2" "${COMMON[@]}" "${S2[@]}"
 echo "=== $FAMILY eval.py on the Step-2 checkpoint ==="
 python eval.py "${EVAL[@]}"
