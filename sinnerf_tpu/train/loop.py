@@ -333,6 +333,10 @@ class SinNeRFTrainer:
         self.validate(self.start_epoch, max_batches=1, log=False)
 
         spe = self.steps_per_epoch()
+        # host-side mirror of state.step: `int(self.state.step)` would force
+        # a ~30ms axon round-trip EVERY step (20% of wall time at the soak
+        # shape) just to decide whether to log
+        host_step = int(self.state.step)
         for epoch in range(self.start_epoch, max_epochs):
             lr = lr_for_epoch(hp, epoch)
             self.state = self.state._replace(
@@ -363,7 +367,8 @@ class SinNeRFTrainer:
                     self.opt_g,
                     self.opt_d,
                 )
-                step = int(self.state.step)
+                host_step += 1
+                step = host_step
                 if step % 10 == 0 and self.writer:
                     # one batched host fetch for the whole log payload: per-
                     # leaf np.asarray would pay the ~30ms axon RTT per array
