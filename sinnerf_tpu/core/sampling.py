@@ -66,39 +66,6 @@ def searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndar
     ).astype(jnp.int32)
 
 
-def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Merge two per-row-sorted arrays (N, K1), (N, K2) -> sorted (N, K1+K2).
-
-    O(K1*K2) comparison-rank scatter.  NOTE: on TPU the row-wise scatter
-    lowers very poorly (57ms vs 2.6ms for ``jnp.sort`` at 65536x(64+64)) —
-    the renderer uses ``jnp.sort``; this stays for CPU-side use and as the
-    semantic spec.  Stable: on ties, elements of ``a`` precede ``b``.
-    """
-    k1, k2 = a.shape[-1], b.shape[-1]
-    # rank of a[i] in the merged row = i + #(b < a[i]); strict for stability
-    rank_a = jnp.arange(k1) + jnp.sum(
-        b[..., None, :] < a[..., :, None], axis=-1
-    )
-    rank_b = jnp.arange(k2) + jnp.sum(
-        a[..., None, :] <= b[..., :, None], axis=-1
-    )
-    ranks = jnp.concatenate([rank_a, rank_b], axis=-1)
-    vals = jnp.concatenate([a, b], axis=-1)
-    return _scatter_rows(vals, ranks)
-
-
-def _scatter_rows(vals: jnp.ndarray, ranks: jnp.ndarray) -> jnp.ndarray:
-    """out[..., ranks[i]] = vals[..., i] along the last axis (ranks is a
-    permutation per row)."""
-    n = vals.shape[0]
-    k = vals.shape[-1]
-    flat_idx = ranks + (jnp.arange(n) * k)[:, None]
-    out = jnp.zeros((n * k,), vals.dtype).at[flat_idx.reshape(-1)].set(
-        vals.reshape(-1)
-    )
-    return out.reshape(n, k)
-
-
 def sample_pdf(
     bins: jnp.ndarray,
     weights: jnp.ndarray,

@@ -352,9 +352,9 @@ def render_rays(
             # Grad must not flow into coarse weights through the resampling
             # (rendering.py:311-313).
             z_fine = jax.lax.stop_gradient(z_fine)
-            # NOTE: an O(n) two-way merge (core.sampling.merge_sorted) is
-            # algorithmically cheaper but its scatter lowers catastrophically
-            # on TPU (57ms vs 2.6ms for XLA's sort at 65k rays) — sort wins.
+            # NOTE: an O(n) comparison-rank two-way merge is algorithmically
+            # cheaper but its row scatter lowers catastrophically on TPU
+            # (57ms vs 2.6ms for XLA's sort at 65k rays) — sort wins.
             z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
 
         if fused_eval:

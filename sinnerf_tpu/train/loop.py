@@ -444,10 +444,13 @@ class SinNeRFTrainer:
                     self.state.params, rays, self.render_settings, tile=tile
                 )
             if "rgbs" in item:
-                p = float(
+                # device scalar, fetched in one batch after the loop: a
+                # per-image float() would block render i before dispatching
+                # render i+1 (30ms tunnel RTT each, plus lost host/device
+                # overlap of the next item's ray build + upload)
+                psnrs.append(
                     psnr_metric(results["rgb_fine"], jnp.asarray(item["rgbs"]))
                 )
-                psnrs.append(p)
             if log and self.writer and i % 5 == 0 and "rgbs" in item:
                 img = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
                 gt = np.asarray(item["rgbs"]).reshape(h, w, 3)
@@ -460,7 +463,7 @@ class SinNeRFTrainer:
                 self.writer.add_images(
                     "val/GT_pred_depth", np.clip(stack, 0, 1), int(self.state.step)
                 )
-        mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+        mean_psnr = float(np.mean(jax.device_get(psnrs))) if psnrs else 0.0
         if log and self.writer:
             self.writer.add_scalar("val/psnr", mean_psnr, epoch)
         return mean_psnr

@@ -215,26 +215,6 @@ def test_ray_bundle_layout():
     np.testing.assert_allclose(bundle[:, 7], 6.0)
 
 
-def test_merge_sorted_matches_sort():
-    from sinnerf_tpu.core.sampling import merge_sorted
-
-    rng = np.random.default_rng(10)
-    a = np.sort(rng.uniform(0, 10, size=(33, 64)).astype(np.float32), -1)
-    b = np.sort(rng.uniform(0, 10, size=(33, 128)).astype(np.float32), -1)
-    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
-    want = np.sort(np.concatenate([a, b], -1), -1)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_merge_sorted_with_ties():
-    from sinnerf_tpu.core.sampling import merge_sorted
-
-    a = jnp.asarray([[1.0, 2.0, 2.0, 5.0]])
-    b = jnp.asarray([[2.0, 3.0]])
-    got = np.asarray(merge_sorted(a, b))
-    np.testing.assert_array_equal(got, [[1.0, 2.0, 2.0, 2.0, 3.0, 5.0]])
-
-
 def test_sample_pdf_sorted_u_is_sorted_and_valid():
     bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 63), (16, 63))
     w = jnp.asarray(np.random.default_rng(11).uniform(size=(16, 62)).astype(np.float32))
