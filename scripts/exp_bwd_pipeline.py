@@ -380,13 +380,19 @@ def run_variant(variant, r_tile, n_streams, inputs, check_against=None):
         return outs[0]  # dw1, summed by the timing loop
 
     if check_against is not None:
+        from sinnerf_tpu.ops.fused_mlp_t import _unpack_grads_t
+
         outs = call(rays8, *fixed)
-        ref_outs = check_against
-        err = max(
-            float(jnp.max(jnp.abs(o - r) / (jnp.abs(r) + 1e-3)))
-            for o, r in zip(outs[:14], ref_outs[:14])
+        got = _unpack_grads_t(outs[:14], outs[14:], params)
+        errs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1e-3))),
+            got, check_against,
         )
+        err = max(jax.tree_util.tree_leaves(errs))
         print(f"  [{variant} r={r_tile} x{n_streams}] max rel err vs production: {err:.2e}")
+        # catches transcription errors (O(1) divergence); the margin only
+        # absorbs f32 accumulation-order differences at non-production tiles
+        assert err < 1e-3, f"variant {variant} diverged from production: {err}"
 
     dt = time_fn(fn, rays8, iters=10, repeats=3)
     return dt
@@ -423,6 +429,17 @@ def main():
     except Exception as e:
         print("production timing failed:", e)
 
+    # production grads: the numerics anchor for the bit-exact variants
+    # (base / two_stream / pe_pipe must reproduce these, or the ablation
+    # table is measuring a kernel that computes something else)
+    prod_grads = None
+    if os.environ.get("EXP_CHECK", "1") == "1":
+        prod_grads = _frlt_bwd(
+            True, False, "bfloat16",
+            (params, rays_t, z_vals, None, w_t, a_t, rgb_t), g,
+        )[0]
+        jax.block_until_ready(prod_grads)
+
     inputs = (rays_t, z_vals, params, w_t, a_t, rgb_t, g)
     results = {}
     default = "base:1024:1,no_db:1024:1,no_mask:1024:1,no_dw:1024:1,mxu_floor:1024:1,two_stream:512:2,two_stream:1024:2"
@@ -431,8 +448,12 @@ def main():
         variant, r_tile, streams = entry.split(":")
         r_tile, streams = int(r_tile), int(streams)
         tag = f"{variant}_r{r_tile}_x{streams}"
+        exact = variant in ("base", "two_stream", "pe_pipe")
         try:
-            dt = run_variant(variant, r_tile, streams, inputs)
+            dt = run_variant(
+                variant, r_tile, streams, inputs,
+                check_against=prod_grads if exact else None,
+            )
             results[tag] = dt
             print(f"{tag:24s} {dt*1e3:8.2f} ms")
         except Exception as e:

@@ -75,10 +75,9 @@ run_train() {
   for attempt in 1 2 3 4; do
     local extra=()
     [ -d "$CK/$exp/last" ] && extra=(--ckpt_path "$CK/$exp/last")
-    if python train.py "$@" "${extra[@]}"; then
-      return 0
-    fi
-    echo "--- train $exp attempt $attempt failed (rc=$?); retrying ---"
+    local rc=0
+    python train.py "$@" "${extra[@]}" && return 0 || rc=$?
+    echo "--- train $exp attempt $attempt failed (rc=$rc); retrying ---"
     sleep 30
   done
   echo "train $exp failed after 4 attempts" >&2

@@ -41,6 +41,43 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return cp.restore(os.path.abspath(path))
 
 
+def restructure_like(template, restored):
+    """Rebuild a target-less orbax restore into ``template``'s structure.
+
+    ``PyTreeCheckpointer.restore`` without a target returns plain containers:
+    namedtuples come back as dicts keyed by field name, tuples as lists, and
+    empty nodes (e.g. ``optax.EmptyState``) as ``None``.  Optimizer states
+    restored that way crash ``set_lr``/``optax.update`` (which expect the
+    typed namedtuples), so resumed training needs the live, freshly
+    ``init``-ed state as the structural template.  Leaves are taken from
+    ``restored`` unchanged (shape migration stays the caller's job); where
+    ``template`` is ``None`` the raw restore is returned best-effort.
+    """
+    if template is None:
+        return restored
+    if hasattr(template, "_fields"):  # namedtuple (optax states, TrainState)
+        if restored is None and not template._fields:
+            return type(template)()  # e.g. EmptyState saved/restored as None
+        vals = [
+            restructure_like(getattr(template, f), restored[f])
+            for f in template._fields
+        ]
+        return type(template)(*vals)
+    if isinstance(template, (tuple, list)):
+        if len(restored) != len(template):
+            raise ValueError(
+                f"checkpoint structure mismatch: {len(restored)} entries "
+                f"restored for a {len(template)}-entry {type(template).__name__}"
+            )
+        seq = [restructure_like(t, r) for t, r in zip(template, restored)]
+        return type(template)(seq)
+    if isinstance(template, dict):
+        return {
+            k: restructure_like(v, restored[k]) for k, v in template.items()
+        }
+    return restored  # leaf
+
+
 class TopKCheckpointManager:
     """Keep the best-k checkpoints by val/psnr plus a rolling 'last'
     (train.py:34-35 semantics).

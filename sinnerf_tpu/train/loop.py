@@ -38,6 +38,7 @@ from sinnerf_tpu.train.checkpoints import (
     TopKCheckpointManager,
     load_checkpoint,
     load_torch_nerf_checkpoint,
+    restructure_like,
 )
 from sinnerf_tpu.train.optimizers import get_optimizer, lr_for_epoch, set_lr
 from sinnerf_tpu.train.step import TrainConfig, TrainState, train_step
@@ -124,8 +125,10 @@ class SinNeRFTrainer:
                 init_keys[2], hparams.patch_size
             )
             if warm is not None and "d_params" in warm:
-                # whole-system warm start includes D (train.py:31-33)
-                d_params, sn_state = warm["d_params"], warm["sn_state"]
+                # whole-system warm start includes D (train.py:31-33); keep
+                # the fresh power-iteration state if the ckpt lacks one
+                d_params = warm["d_params"]
+                sn_state = warm.get("sn_state", sn_state)
             self.opt_d = get_optimizer(hparams, rate=0.2)  # sinnerf.py:208
             opt_d_state = self.opt_d.init(d_params)
         allow_random = getattr(hparams, "allow_random_pretrained", False)
@@ -234,15 +237,30 @@ class SinNeRFTrainer:
         ``d_params``/``sn_state`` if the checkpoint carries a discriminator.
         """
         nerf_only = getattr(self.hparams, "nerf_only", False)
+        prefixes = tuple(
+            getattr(self.hparams, "prefixes_to_ignore", None) or ()
+        )
+
+        def ignored(torch_name: str) -> bool:
+            # same semantics as the torch path (extract_model_state_dict,
+            # reference utils/__init__.py:60-83): drop by reference-side
+            # module-name prefix ('nerf_coarse', 'nerf_fine', 'D')
+            return any(torch_name.startswith(p) for p in prefixes)
+
         if os.path.isdir(path):
             tree = load_checkpoint(path)
             # our checkpoints nest the live TrainState under 'state'
             state = tree.get("state", tree)
             params = state.get("params", state)
-            out = {k: params[k] for k in ("coarse", "fine") if k in params}
-            if not out:
+            present = {k: params[k] for k in ("coarse", "fine") if k in params}
+            if not present:
                 raise KeyError(f"no NeRF weights found in {path}")
-            if not nerf_only:
+            out = {
+                k: v
+                for k, v in present.items()
+                if not ignored({"coarse": "nerf_coarse", "fine": "nerf_fine"}[k])
+            }
+            if not nerf_only and not ignored("D"):
                 for k in ("d_params", "sn_state"):
                     if state.get(k) is not None:
                         out[k] = state[k]
@@ -257,12 +275,20 @@ class SinNeRFTrainer:
 
     def _resume(self, path: str) -> None:
         tree = load_checkpoint(path)
-        restored = jax.tree_util.tree_map(jnp.asarray, tree["state"])
-        # tolerate checkpoints written before a TrainState field existed
+        raw = tree["state"]
+        # tolerate checkpoints written before a TrainState field existed, and
+        # rebuild optax/namedtuple structure against the live fresh state — a
+        # target-less orbax restore returns plain dicts/lists, which crash
+        # set_lr/optax.update on the first resumed epoch
         fields = {
-            f: restored[f] if f in restored else getattr(self.state, f)
+            f: (
+                restructure_like(getattr(self.state, f), raw[f])
+                if f in raw
+                else getattr(self.state, f)
+            )
             for f in TrainState._fields
         }
+        fields = jax.tree_util.tree_map(jnp.asarray, fields)
         # migrate the pre-per-item ViT cache: (384,) -> (B, 384) (the cache
         # became one row per global-batch item for DDP-exact semantics)
         rf = fields.get("ref_feature")
@@ -272,12 +298,17 @@ class SinNeRFTrainer:
             )
         # migrate pre-validity-flag checkpoints: recover the flag from the
         # old zeros sentinel (nonzero cached row == valid)
-        if fields.get("ref_feature") is not None and "ref_feature_valid" not in restored:
+        if fields.get("ref_feature") is not None and "ref_feature_valid" not in raw:
             fields["ref_feature_valid"] = jnp.any(
                 fields["ref_feature"] != 0, axis=1
             )
         self.state = TrainState(**fields)
-        self.start_epoch = int(tree.get("epoch", 0))
+        # _save(epoch, ...) runs AFTER epoch `epoch` finished (post-val), so
+        # resume must continue at epoch+1 — resuming at `epoch` would replay
+        # the completed epoch on top of its own post-epoch params (extra
+        # optimizer steps + a one-epoch LR/log skew per restart)
+        saved_epoch = tree.get("epoch", None)
+        self.start_epoch = 0 if saved_epoch is None else int(saved_epoch) + 1
         # restore the top-k manager's (score, name) ranking so pruning
         # continues across the restart (Lightning parity, eval.py:132)
         self._restored_ckpt_best = tree.get("ckpt_best", None)

@@ -594,6 +594,30 @@ def test_prefixes_to_ignore_honored(blender_root, tmp_path):
     )
 
 
+def test_prefixes_to_ignore_honored_orbax(blender_root, tmp_path):
+    """Same flag, same behavior on our orbax checkpoints: component names map
+    to the reference module names (coarse->nerf_coarse, fine->nerf_fine)."""
+    hp = _hparams(blender_root, str(tmp_path))
+    trainer = SinNeRFTrainer(hp)
+    _run_steps(trainer, 1)
+    trainer._save(0, 11.0)
+    ckpt = os.path.join(hp.ckpt_dir, "test", "last")
+
+    hp2 = _hparams(
+        blender_root, str(tmp_path), pt_model=ckpt, exp_name="warm2",
+        prefixes_to_ignore=["nerf_fine"],
+    )
+    trainer2 = SinNeRFTrainer(hp2)
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.params["coarse"]["sigma"]["w"]),
+        np.asarray(trainer.state.params["coarse"]["sigma"]["w"]),
+    )
+    assert not np.allclose(
+        np.asarray(trainer2.state.params["fine"]["sigma"]["w"]),
+        np.asarray(trainer.state.params["fine"]["sigma"]["w"]),
+    )
+
+
 def test_topk_manager_state_persists_across_resume(tmp_path):
     """The (score, name) top-k ranking rides inside every checkpoint and a
     restored manager keeps pruning correctly (Lightning carries the callback
@@ -630,3 +654,34 @@ def test_trainer_resume_restores_topk_state(blender_root, tmp_path):
     hp2 = _hparams(blender_root, str(tmp_path), ckpt_path=ckpt)
     trainer2 = SinNeRFTrainer(hp2)
     assert [round(p, 2) for p, _ in trainer2.ckpt_manager.best] == [10.0, 9.0]
+
+
+def test_trainer_resume_continues_at_next_epoch(blender_root, tmp_path):
+    """_save(epoch) runs after epoch `epoch` completed, so resume must start
+    at epoch+1: replaying the saved epoch would train it a second time on top
+    of its own post-epoch params (extra steps + LR/log skew per restart)."""
+    hp = _hparams(blender_root, str(tmp_path))
+    trainer = SinNeRFTrainer(hp)
+    _run_steps(trainer, 1)
+    trainer._save(3, 9.0)
+    ckpt = os.path.join(hp.ckpt_dir, "test", "last")
+    hp2 = _hparams(blender_root, str(tmp_path), ckpt_path=ckpt)
+    trainer2 = SinNeRFTrainer(hp2)
+    assert trainer2.start_epoch == 4
+    # resumed state must be TRAINABLE: a target-less orbax restore loses the
+    # optax namedtuple structure, which used to crash set_lr/optax.update on
+    # the first resumed epoch (masked because no test trained after resume)
+    from sinnerf_tpu.train.optimizers import set_lr
+
+    trainer2.state = trainer2.state._replace(
+        opt_g=set_lr(trainer2.state.opt_g, 1e-4)
+    )
+    _run_steps(trainer2, 1)
+    assert int(trainer2.state.step) == 2
+    # a completed run resumes as a no-op: fit() must run zero further epochs
+    hp3 = _hparams(blender_root, str(tmp_path), ckpt_path=ckpt, num_epochs=4)
+    trainer3 = SinNeRFTrainer(hp3)
+    spe = trainer3.steps_per_epoch()
+    step_before = int(trainer3.state.step)
+    trainer3.fit()
+    assert int(trainer3.state.step) == step_before
