@@ -83,6 +83,14 @@ def load_params(ckpt_path: str):
         tree = load_checkpoint(ckpt_path)
         params = tree.get("state", tree).get("params", tree.get("params", tree))
         params = {k: params[k] for k in ("coarse", "fine") if k in params}
+        if not params:
+            # fail fast: without this, the fallback-to-whole-tree chain above
+            # surfaces as a cryptic KeyError deep inside jit tracing
+            raise ValueError(
+                f"{ckpt_path} holds no 'coarse'/'fine' NeRF params "
+                f"(top-level keys: {sorted(tree)}) — is it a checkpoint "
+                f"written by this trainer?"
+            )
     else:
         params = load_torch_nerf_checkpoint(ckpt_path)
     return jax.tree_util.tree_map(jnp.asarray, params)

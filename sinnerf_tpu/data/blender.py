@@ -128,7 +128,7 @@ class BlenderRot3D(SingleImageDataset):
         depth = ref_depth.reshape(-1, 1)
         nonzero = rgbs.sum(-1) != 3  # non-white pixels (blender_rot3d.py:330)
 
-        bank_c2w = pose_np.rot3d_grid(ref_c2w, self.angle)  # (125, 3, 4)
+        bank_c2w = self._pseudo_bank(ref_c2w)
         ref_proj = pose_np.projection_matrix(
             self.k3, pose_np.convert_c2w_to_w2c_cv(ref_c2w)
         )
@@ -165,6 +165,11 @@ class BlenderRot3D(SingleImageDataset):
             "ref_c2w": ref_c2w[:3, :4].astype(np.float32),
             "near_far": np.array([NEAR, FAR], np.float32),
         }
+        if self.pseudo_mode != "rot3d":
+            # proj-style sampling reads precomputed warp banks; rot3d warps a
+            # fresh gaussian pseudo-view on device per item instead
+            scene["bank_rgb"] = np.asarray(bank_rgb, np.float32)
+            scene["bank_depth"] = np.asarray(bank_depth, np.float32)
         self.scene = self._finalize_scene(scene)
         self.cfg = SamplerConfig(
             height=h,
@@ -182,6 +187,10 @@ class BlenderRot3D(SingleImageDataset):
         )
         self.length = max(len(bank_c2w), 1)
         self.val_rays, self.val_rgbs = [], []
+
+    def _pseudo_bank(self, ref_c2w) -> np.ndarray:
+        """(P, 3, 4) pseudo-view pose bank (blender_rot3d.py:365-370)."""
+        return pose_np.rot3d_grid(ref_c2w, self.angle)  # (125, 3, 4)
 
     # -------------------------------------------------------------------- val
     def _build_val(self, train_meta):
@@ -239,41 +248,8 @@ class BlenderProj(BlenderRot3D):
     dataset_name = "blender_ray_patch_1image_proj"
     pseudo_mode = "proj"
 
-    def _build_train(self, meta, depth_type, patch_size, sW, sH, num_rays):
-        super()._build_train(meta, depth_type, patch_size, sW, sH, num_rays)
-        # Replace the pseudo bank with the rot_z line; rebuild banks/pools.
-        w, h = self.img_wh
-        bank_c2w = pose_np.rot_z_linspace(self.ref_c2w, self.angle, 60)
-        ref_proj = pose_np.projection_matrix(
-            self.k3, pose_np.convert_c2w_to_w2c_cv(self.ref_c2w)
-        )
-        src_projs = np.stack(
-            [
-                pose_np.projection_matrix(
-                    self.k3, pose_np.convert_c2w_to_w2c_cv(c)
-                )
-                for c in bank_c2w
-            ]
-        )
-        ref_image = np.asarray(self.scene["ref_image"])
-        ref_depth = np.asarray(self.scene["ref_depth"])
-        bank_rgb, bank_depth = build_warp_banks(
-            ref_image, ref_depth, ref_proj, src_projs, zbuffer=False
-        )
-        proj_pose, proj_pix, proj_depth = build_proj_index(bank_rgb, bank_depth)
-        scene = {k: np.asarray(v) for k, v in self.scene.items()}
-        scene.update(
-            {
-                "bank_c2w": bank_c2w.astype(np.float32),
-                "bank_rgb": bank_rgb.astype(np.float32),
-                "bank_depth": bank_depth.astype(np.float32),
-                "proj_pose": proj_pose,
-                "proj_pix": proj_pix,
-                "proj_depth": proj_depth,
-            }
-        )
-        self.scene = self._finalize_scene(scene)
-        import dataclasses
-
-        self.cfg = dataclasses.replace(self.cfg, fresh_warp=False)
-        self.length = max(len(bank_c2w), 1)
+    def _pseudo_bank(self, ref_c2w) -> np.ndarray:
+        # the rot3d bank used to be built via super() and thrown away —
+        # doubling the (device-warped) dataset init; the hook builds only
+        # the 60-pose rot_z line (blender_proj.py:355-356)
+        return pose_np.rot_z_linspace(ref_c2w, self.angle, 60)

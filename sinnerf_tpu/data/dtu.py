@@ -85,13 +85,22 @@ class DTUProj(SingleImageDataset):
         self.white_back = True  # dtu_proj.py:312
         w, h = img_wh
 
+        def img_path(vid):
+            return os.path.join(
+                root_dir,
+                f"Rectified/scan{scan}_train/rect_{vid + 1:03d}_{light_idx}_r5000.png",
+            )
+
         # --- cameras -------------------------------------------------------
+        # The x4 cam-file calibration is native at the on-disk rectified
+        # image resolution (640x512 for distributed DTU); anchor the rescale
+        # there so K tracks the --img_wh resize (a PIL header read, no decode)
+        from PIL import Image
+
+        self._cam_native_wh = Image.open(img_path(ref_view_id)).size
+
         ref_cam = os.path.join(root_dir, f"Cameras/train/{ref_view_id:08d}_cam.txt")
-        intrinsic, extrinsic, (self.near, self.far) = read_cam_file(ref_cam)
-        intrinsic = intrinsic.copy()
-        intrinsic[:2] *= 4  # cam files store 1/4-res intrinsics (dtu_proj.py:346)
-        extrinsic = extrinsic.copy()
-        extrinsic[:3, 3] *= SCALE_FACTOR
+        intrinsic, extrinsic, (self.near, self.far) = self._load_cam(ref_cam)
         self.k3 = intrinsic
         self.ref_w2c = extrinsic
         self.ref_c2w = np.linalg.inv(extrinsic)
@@ -102,12 +111,6 @@ class DTUProj(SingleImageDataset):
         self.focal = [intrinsic[0, 0], intrinsic[1, 1]]
         center = [intrinsic[0, 2], intrinsic[1, 2]]
         self.directions = np.asarray(get_ray_directions_pz(h, w, intrinsic))
-
-        def img_path(vid):
-            return os.path.join(
-                root_dir,
-                f"Rectified/scan{scan}_train/rect_{vid + 1:03d}_{light_idx}_r5000.png",
-            )
 
         def depth_path(vid):
             return os.path.join(
@@ -134,13 +137,31 @@ class DTUProj(SingleImageDataset):
                 )
             self.length = len(self.val_rays)
 
+    def _load_cam(self, path):
+        """Read + post-process one MVS cam file: x4 to full resolution (the
+        files store 1/4-res intrinsics, dtu_proj.py:346), rescale the
+        calibration from the on-disk rectified image resolution (640x512 for
+        distributed DTU) to ``img_wh``, and apply the 1/200 world scale to
+        the translation.  Deviation: the reference keeps the native-res
+        intrinsics at ANY ``img_wh`` (dtu_proj.py:485 builds directions from
+        the unscaled focal/center), silently skewing all geometry at
+        non-native sizes; here K tracks the image resize — a no-op at the
+        published 640x512 recipe."""
+        intrinsic, extrinsic, bounds = read_cam_file(path)
+        intrinsic = intrinsic.copy()
+        intrinsic[:2] *= 4
+        w, h = self.img_wh
+        intrinsic[0] *= w / self._cam_native_wh[0]
+        intrinsic[1] *= h / self._cam_native_wh[1]
+        extrinsic = extrinsic.copy()
+        extrinsic[:3, 3] *= SCALE_FACTOR
+        return intrinsic, extrinsic, bounds
+
     def _val_poses(self, ref_view_id):
         out = [(ref_view_id, self.ref_c2w)]
         for vid in self.src_views:
             cam = os.path.join(self.root_dir, f"Cameras/train/{vid:08d}_cam.txt")
-            _, ext, _ = read_cam_file(cam)
-            ext = ext.copy()
-            ext[:3, 3] *= SCALE_FACTOR
+            _, ext, _ = self._load_cam(cam)
             out.append((vid, np.linalg.inv(ext)))
         return out
 
@@ -168,11 +189,7 @@ class DTUProj(SingleImageDataset):
         bank_c2w, src_projs = [], []
         for vid in self.src_views:
             cam = os.path.join(self.root_dir, f"Cameras/train/{vid:08d}_cam.txt")
-            intr, ext, _ = read_cam_file(cam)
-            intr = intr.copy()
-            intr[:2] *= 4
-            ext = ext.copy()
-            ext[:3, 3] *= SCALE_FACTOR
+            intr, ext, _ = self._load_cam(cam)
             p = np.eye(4)
             p[:3, :4] = intr @ ext[:3, :4]
             src_projs.append(p)

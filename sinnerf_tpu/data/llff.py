@@ -10,7 +10,12 @@ Parity targets:
 Intentional deviation: the reference builds K with swapped principal-point
 coordinates (``llff_proj.py:375-376`` uses ``img_wh[1]`` for cx), harmless for
 its own training only because both warp directions share the bug; we use the
-correct ``((W-1)/2, (H-1)/2)``.
+correct ``((W-1)/2, (H-1)/2)``.  Kept as-is: the reference's warp K centers at
+``(W-1)/2`` while its ray grid centers at ``W/2`` (``ray_utils.py:73-93``), a
+half-pixel inconsistency between warp supervision and the rays it supervises;
+both sides are reproduced verbatim (same in ``blender.py`` — reference
+``blender_rot3d.py:206`` vs the same ray grid) so warp targets land on the
+same pixels the reference trains against.
 """
 
 from __future__ import annotations
@@ -55,13 +60,23 @@ def _read_poses_bounds(root_dir: str):
     return poses, bounds, focal_raw, near, far, val_idx, ref_idx, scale_factor
 
 
-def _image_paths(root_dir: str):
-    paths = sorted(glob.glob(os.path.join(root_dir, "images/*.JPG")))
-    if not paths:  # tolerate other extensions for synthetic/test data
-        paths = sorted(
+def _image_paths(root_dir: str, n_poses: int = None):
+    """All images, one sorted list across extensions (the reference globs
+    ``images/*``, llff.py-style) — a single-extension glob would silently
+    misalign images with poses_bounds rows when a directory mixes .JPG with
+    .jpg/.png.  ``n_poses`` validates the pairing invariant."""
+    paths = sorted(
+        {
             p
-            for ext in ("*.jpg", "*.png", "*.JPG")
+            for ext in ("*.JPG", "*.jpg", "*.jpeg", "*.png", "*.PNG")
             for p in glob.glob(os.path.join(root_dir, "images", ext))
+        }
+    )
+    if n_poses is not None and len(paths) != n_poses:
+        raise ValueError(
+            f"{root_dir}/images has {len(paths)} images but poses_bounds.npy "
+            f"has {n_poses} rows — the sorted-filename <-> pose pairing "
+            f"would be wrong"
         )
     return paths
 
@@ -101,7 +116,7 @@ class LLFFProj(SingleImageDataset):
             self.ref_idx,
             self.scale_factor,
         ) = _read_poses_bounds(root_dir)
-        self.image_paths = _image_paths(root_dir)
+        self.image_paths = _image_paths(root_dir, n_poses=len(self.poses))
         self.focal = focal0 * w / w0
         self.k3 = np.array(
             [[self.focal, 0, (w - 1) / 2], [0, self.focal, (h - 1) / 2], [0, 0, 1.0]],
@@ -247,7 +262,7 @@ class LLFFEval(SingleImageDataset):
             _,
             _,
         ) = _read_poses_bounds(root_dir)
-        self.image_paths = _image_paths(root_dir)
+        self.image_paths = _image_paths(root_dir, n_poses=len(self.poses))
         self.focal = focal0 * w / w0
         self.directions = np.asarray(get_ray_directions(h, w, self.focal))
 

@@ -46,7 +46,19 @@ def time_fn(
     iteration consumes a scalar from the last so XLA can neither hoist nor
     DCE the body), then forces a scalar fetch.  Robust to async-dispatch
     backends; fetch RTT amortizes over ``iters``.
+
+    Requires at least one argument, and the first must be a float array (the
+    loop-carry perturbation is injected there; on an int array it would cast
+    to exactly 0 and the chaining contract would silently break).
     """
+    if not args:
+        raise ValueError("time_fn needs >=1 array argument to chain through")
+    if not jnp.issubdtype(jnp.asarray(args[0]).dtype, jnp.floating):
+        raise ValueError(
+            f"time_fn's first argument must be a float array (got "
+            f"{jnp.asarray(args[0]).dtype}): the loop-carry perturbation "
+            f"casts to 0 on integer dtypes, breaking the no-hoist chaining"
+        )
 
     @jax.jit
     def loop(n, *a):

@@ -277,3 +277,21 @@ def test_rich_dtu_scene_multiview_consistent(rich_dtu_root):
     assert rd.min() > ds.near and rd.max() < ds.far
     # mean_gt_001 patch rejection must accept this scene (depth ~2.5-4.0)
     assert rd.mean() > 0.01
+
+
+def test_dtu_intrinsics_track_img_wh(rich_dtu_root):
+    """Loading at a non-native --img_wh must rescale K with the image resize
+    (the reference keeps native-res intrinsics at any size, silently halving
+    the FOV at half resolution; deviation documented in DTUProj._load_cam)."""
+    from sinnerf_tpu.data.dtu import DTUProj
+
+    full = DTUProj(rich_dtu_root, split="val", img_wh=(160, 128))
+    half = DTUProj(rich_dtu_root, split="val", img_wh=(80, 64))
+    np.testing.assert_allclose(half.k3[:2], full.k3[:2] * 0.5, rtol=1e-6)
+    # same camera FOV: the corner ray directions must agree after
+    # normalization (the grids sample the same frustum at different density)
+    d_full = np.asarray(full.directions).reshape(128, 160, 3)
+    d_half = np.asarray(half.directions).reshape(64, 80, 3)
+    a = d_full[0, 0] / np.linalg.norm(d_full[0, 0])
+    b = d_half[0, 0] / np.linalg.norm(d_half[0, 0])
+    np.testing.assert_allclose(a, b, atol=5e-3)
