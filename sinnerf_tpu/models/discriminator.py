@@ -148,7 +148,17 @@ def _spectral_norm(
     w: jnp.ndarray, u: jnp.ndarray, update: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One torch-style power iteration: v = normalize(W^T u); u' =
-    normalize(W v); sigma = u'^T W v; returns (W / sigma, u')."""
+    normalize(W v); sigma = u'^T W v; returns (W / sigma, u').
+
+    Gradient semantics match torch.nn.utils.spectral_norm: u and v are
+    buffers (detached), but sigma = u^T W v stays in the graph, so
+    d(W/sigma)/dW carries the -(u v^T) <g, W> / sigma^2 norm-restoring
+    term.  (An earlier version stop_gradient'ed sigma itself, silently
+    dropping that term from every D weight gradient.)
+
+    ``update=False`` recomputes v from the current weight instead of
+    torch's stored-v eval buffer (we persist only u); only reachable from
+    tests — the train step always advances the power iteration."""
     w2d = w.reshape(w.shape[0], -1)
 
     def norm(v):
@@ -160,10 +170,10 @@ def _spectral_norm(
     else:
         v = norm(w2d.T @ u)
         u_new = u
-    sigma = u_new @ (w2d @ v)
-    # Power iteration is not part of the training objective.
-    sigma = jax.lax.stop_gradient(sigma)
+    # u/v are buffers, not part of the training objective
+    v = jax.lax.stop_gradient(v)
     u_new = jax.lax.stop_gradient(u_new)
+    sigma = u_new @ (w2d @ v)
     return w / sigma, u_new
 
 
