@@ -29,32 +29,43 @@ def lr_for_epoch(hparams: Any, epoch: float) -> float:
     """Learning-rate multiplier schedule, epoch-indexed like the reference's
     per-epoch ``scheduler.step()``.  Returns the absolute lr (before any
     optimizer ``rate`` scaling)."""
-    lr = hparams.lr
     sched = getattr(hparams, "lr_scheduler", "steplr")
     num_epochs = getattr(hparams, "num_epochs", 1)
+
+    # GradualWarmupScheduler semantics (warmup_scheduler.py:25-35,53-61):
+    # ramp base_lr -> multiplier*base_lr over warmup_epochs, then run the
+    # after-scheduler on base_lrs*multiplier stepped with epoch - warmup
+    # (milestones shift by the warmup length).  Gated off radam/ranger like
+    # get_scheduler (utils/__init__.py:48-51).
+    warmup_epochs = getattr(hparams, "warmup_epochs", 0)
+    optimizer = getattr(hparams, "optimizer", "adam")
+    warmup_on = warmup_epochs > 0 and optimizer not in ("radam", "ranger")
+    mult = getattr(hparams, "warmup_multiplier", 1.0)
+    if warmup_on and epoch <= warmup_epochs:
+        return hparams.lr * (1.0 + (mult - 1.0) * epoch / warmup_epochs)
+
+    lr = hparams.lr * (mult if warmup_on else 1.0)
+    # torch's after-scheduler takes its first step one epoch AFTER the ramp
+    # ends (the `finished` flag flips during epoch warmup+1's get_lr), so its
+    # internal epoch counter is epoch - warmup - 1 (golden-tested vs
+    # GradualWarmupScheduler(MultiStepLR))
+    eff = epoch - warmup_epochs - 1 if warmup_on else epoch
     if sched == "steplr":
         gamma = getattr(hparams, "decay_gamma", 0.1)
         steps = getattr(hparams, "decay_step", [20])
-        lr = lr * gamma ** sum(1 for s in steps if epoch >= s)
+        lr = lr * gamma ** sum(1 for s in steps if eff >= s)
     elif sched == "cosine":
         import math
 
         eta_min = 1e-8
         lr = eta_min + (lr - eta_min) * 0.5 * (
-            1 + math.cos(math.pi * min(epoch, num_epochs) / num_epochs)
+            1 + math.cos(math.pi * min(eff, num_epochs) / num_epochs)
         )
     elif sched == "poly":
         exp = getattr(hparams, "poly_exp", 0.9)
-        lr = lr * (1 - min(epoch, num_epochs) / num_epochs) ** exp
+        lr = lr * (1 - min(eff, num_epochs) / num_epochs) ** exp
     else:
         raise ValueError(f"unknown scheduler {sched!r}")
-
-    warmup_epochs = getattr(hparams, "warmup_epochs", 0)
-    optimizer = getattr(hparams, "optimizer", "adam")
-    if warmup_epochs > 0 and optimizer in ("sgd", "adam") and epoch < warmup_epochs:
-        mult = getattr(hparams, "warmup_multiplier", 1.0)
-        # GradualWarmupScheduler: ramp base_lr*(1 -> multiplier) over warmup
-        lr = hparams.lr * (1.0 + (mult - 1.0) * epoch / warmup_epochs) / mult
     return lr
 
 
@@ -109,29 +120,44 @@ def get_optimizer(hparams: Any, rate: float = 1.0) -> optax.GradientTransformati
     name = getattr(hparams, "optimizer", "adam")
     wd = getattr(hparams, "weight_decay", 0.0)
     base_lr = hparams.lr * rate
+    momentum = getattr(hparams, "momentum", 0.9)
+
+    # weight_decay parity (reference utils/__init__.py:16-28): torch SGD and
+    # Adam couple L2 into the gradient BEFORE the momentum/moment updates;
+    # the vendored RAdam/Ranger apply a DECOUPLED lr-scaled decay
+    # (optimizers.py:92-101 `p -= wd*lr*p`).  optax mirror: decayed weights
+    # added before scale_by_adam for adam/sgd, between scale_by_radam and the
+    # lr scale for radam/ranger.
+    def decayed():
+        return [optax.add_decayed_weights(wd)] if wd > 0 else []
 
     if name == "sgd":
-        opt = optax.inject_hyperparams(optax.sgd)(
-            learning_rate=base_lr, momentum=getattr(hparams, "momentum", 0.9)
-        )
+        def make(learning_rate):
+            return optax.chain(
+                *decayed(), optax.sgd(learning_rate, momentum=momentum)
+            )
     elif name == "adam":
         # torch.optim.Adam defaults: eps=1e-8, betas=(0.9, 0.999)
-        if wd > 0:
-            opt = optax.inject_hyperparams(optax.adamw)(
-                learning_rate=base_lr, eps=1e-8, weight_decay=wd
-            )
-        else:
-            opt = optax.inject_hyperparams(optax.adam)(learning_rate=base_lr, eps=1e-8)
+        def make(learning_rate):
+            return optax.chain(*decayed(), optax.adam(learning_rate, eps=1e-8))
     elif name == "radam":
-        opt = optax.inject_hyperparams(optax.radam)(learning_rate=base_lr, eps=1e-8)
+        def make(learning_rate):
+            return optax.chain(
+                optax.scale_by_radam(eps=1e-8),
+                *decayed(),
+                optax.scale_by_learning_rate(learning_rate),
+            )
     elif name == "ranger":
         def make(learning_rate):
-            return lookahead(optax.radam(learning_rate, eps=1e-8), k=6, alpha=0.5)
-
-        opt = optax.inject_hyperparams(make)(learning_rate=base_lr)
+            inner = optax.chain(
+                optax.scale_by_radam(eps=1e-8),
+                *decayed(),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+            return lookahead(inner, k=6, alpha=0.5)
     else:
         raise ValueError(f"optimizer not recognized: {name}")
-    return opt
+    return optax.inject_hyperparams(make)(learning_rate=base_lr)
 
 
 def set_lr(opt_state, lr: float, rate: float = 1.0):

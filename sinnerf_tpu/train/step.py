@@ -46,6 +46,7 @@ from sinnerf_tpu.losses.depth import (
 from sinnerf_tpu.losses.gan import d_loss as gan_d_loss
 from sinnerf_tpu.losses.gan import g_loss as gan_g_loss
 from sinnerf_tpu.losses.photometric import loss_dict
+from sinnerf_tpu.models.diffaug import diff_augment
 from sinnerf_tpu.models.discriminator import discriminator_apply
 from sinnerf_tpu.models.vit import vit_preprocess, vit_tokens
 from sinnerf_tpu.render.renderer import RenderSettings, render_rays
@@ -128,7 +129,6 @@ def compute_losses(
     """Return (total scalar loss, aux dict with metrics/new sn state)."""
     b, n_rand = batch["rays"].shape[:2]
     psx, psy = batch["real_patch"].shape[-2:]
-    n_patch = psx * psy
 
     keys = jax.random.split(key, 6)
     loss_fn = loss_dict[cfg.loss_type]
@@ -301,21 +301,50 @@ def compute_losses(
         # G term: frozen D params, SN state advanced by this call first
         d_frozen = jax.lax.stop_gradient(d_params)
         pred_fake_g, sn1 = d_apply(d_frozen, sn_state, fake_img, key=keys[2])
+        g_pred_real = None
+        if cfg.dloss == "relavistic":
+            # the reference's G branch runs its own D(DiffAugment(real))
+            # forward (sinnerf.py:454) — an explicit outer augmentation
+            # (with diff_aug.py:14's 50% skip) on top of D's internal coin,
+            # advancing the power iteration one extra time per batch
+            k_coin, k_aug, k_d = jax.random.split(keys[5], 3)
+            aug = diff_augment(real_patch, k_aug, cfg.policy)
+            x_real_g = jnp.where(
+                jax.random.bernoulli(k_coin, 0.5), aug, real_patch
+            )
+            g_pred_real, sn1 = d_apply(d_frozen, sn1, x_real_g, key=k_d)
         # D terms: live D params, detached renders
-        pred_real, sn2 = d_apply(d_params, sn1, real_patch, key=keys[3])
+        if cfg.dloss == "wgan_gp":
+            # R1 penalty differentiated through the EXACT pred_real forward
+            # (same augmentation key, same incoming SN state), second-order
+            # like the reference's create_graph=True compute_grad2.  NOTE:
+            # the reference's own wgan_gp branch CRASHES as shipped —
+            # real_patch never gets requires_grad_() before
+            # compute_grad2(pred_real, real_patch) (sinnerf.py:465,487), so
+            # autograd.grad raises; this is the working superset.
+            def _real_fwd(x):
+                out, sn_after = d_apply(d_params, sn1, x, key=keys[3])
+                return jnp.sum(out), (out, sn_after)
+
+            grads_x, (pred_real, sn2) = jax.grad(_real_fwd, has_aux=True)(
+                real_patch
+            )
+        else:
+            pred_real, sn2 = d_apply(d_params, sn1, real_patch, key=keys[3])
         pred_fake_d, new_sn = d_apply(
             d_params, sn2, jax.lax.stop_gradient(fake_img), key=keys[4]
         )
         loss_d_g = gan_g_loss(
-            pred_fake_g, cfg.dloss, pred_real=jax.lax.stop_gradient(pred_real)
+            pred_fake_g,
+            cfg.dloss,
+            pred_real=(
+                jax.lax.stop_gradient(g_pred_real)
+                if g_pred_real is not None
+                else jax.lax.stop_gradient(pred_real)
+            ),
         )
         loss_d_d = gan_d_loss(pred_real, pred_fake_d, cfg.dloss)
         if cfg.dloss == "wgan_gp":
-            def d_sum(x):
-                out, _ = d_apply(d_params, sn_state, x[None], key=None, train=False)
-                return jnp.sum(out)
-
-            grads_x = jax.vmap(jax.grad(d_sum))(real_patch)
             gp = jnp.mean(jnp.sum(grads_x.reshape(b, -1) ** 2, axis=1))
             loss_d_d = loss_d_d + 10.0 * gp
     else:

@@ -13,7 +13,7 @@ import pytest
 
 from sinnerf_tpu.data.synthetic import make_blender_scene
 from sinnerf_tpu.train.loop import SinNeRFTrainer
-from sinnerf_tpu.train.optimizers import lr_for_epoch
+from sinnerf_tpu.train.optimizers import get_optimizer, lr_for_epoch
 
 
 def _hparams(root, tmp, **overrides):
@@ -189,6 +189,18 @@ def test_wgan_gp_flavor_runs(blender_root, tmp_path):
     assert np.isfinite(float(metrics["train/loss_d"]))
 
 
+def test_relavistic_flavor_runs(blender_root, tmp_path):
+    """The relativistic G term runs its own D(DiffAugment(real)) forward
+    (sinnerf.py:454) — exercise that extra augmented forward end to end."""
+    hp = _hparams(
+        blender_root, str(tmp_path), dis_weight=0.01, dloss="relavistic"
+    )
+    trainer = SinNeRFTrainer(hp)
+    metrics = _run_steps(trainer, 1)
+    assert np.isfinite(float(metrics["train/loss_d"]))
+    assert np.isfinite(float(metrics["train/loss"]))
+
+
 def test_short_training_reduces_loss(blender_root, tmp_path):
     hp = _hparams(blender_root, str(tmp_path), lr=5e-3)
     trainer = SinNeRFTrainer(hp)
@@ -244,9 +256,86 @@ def test_lr_schedule_cosine_poly_warmup():
         lr=1e-3, lr_scheduler="steplr", decay_step=[1000], decay_gamma=0.5,
         num_epochs=100, warmup_epochs=10, warmup_multiplier=2.0, optimizer="adam",
     )
-    # epoch 0: lr/multiplier; ramps to lr at warmup end
-    assert lr_for_epoch(hp3, 0) == pytest.approx(5e-4)
-    assert lr_for_epoch(hp3, 10) == pytest.approx(1e-3)
+    # GradualWarmupScheduler: base_lr at epoch 0, multiplier*base_lr at
+    # warmup end (warmup_scheduler.py:35)
+    assert lr_for_epoch(hp3, 0) == pytest.approx(1e-3)
+    assert lr_for_epoch(hp3, 10) == pytest.approx(2e-3)
+
+
+def test_lr_schedule_warmup_matches_reference_scheduler():
+    """Golden parity with GradualWarmupScheduler(MultiStepLR): ramp to
+    multiplier*base over warmup, then milestones shifted by the warmup
+    length on base*multiplier (warmup_scheduler.py:25-35)."""
+    torch = pytest.importorskip("torch")
+    from tests.reference_util import import_reference_module
+
+    ws = import_reference_module("utils.warmup_scheduler")
+
+    base_lr, w, m = 1e-3, 10, 2.0
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base_lr)
+    after = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[20, 40], gamma=0.5
+    )
+    sched = ws.GradualWarmupScheduler(
+        opt, multiplier=m, total_epoch=w, after_scheduler=after
+    )
+    hp = argparse.Namespace(
+        lr=base_lr, lr_scheduler="steplr", decay_step=[20, 40],
+        decay_gamma=0.5, num_epochs=60, warmup_epochs=w,
+        warmup_multiplier=m, optimizer="adam",
+    )
+    for epoch in range(60):
+        want = opt.param_groups[0]["lr"]
+        got = lr_for_epoch(hp, epoch)
+        assert got == pytest.approx(want, rel=1e-6), (
+            f"epoch {epoch}: {got} vs torch {want}"
+        )
+        opt.step()
+        sched.step()
+
+
+@pytest.mark.parametrize("name", ["adam", "sgd", "radam"])
+def test_weight_decay_matches_reference(name):
+    """Golden parity for --weight_decay: torch Adam/SGD couple L2 into the
+    gradient before the moment updates; the vendored RAdam applies a
+    decoupled lr-scaled decay (reference utils/optimizers.py:92-101)."""
+    torch = pytest.importorskip("torch")
+    from tests.reference_util import import_reference_module
+
+    import argparse as ap
+
+    wd, lr = 0.1, 1e-2
+    w0 = np.array([0.5, -1.0, 2.0], np.float32)
+    g = np.array([0.3, 0.1, -0.2], np.float32)
+
+    p = torch.nn.Parameter(torch.tensor(w0))
+    if name == "adam":
+        topt = torch.optim.Adam([p], lr=lr, eps=1e-8, weight_decay=wd)
+    elif name == "sgd":
+        topt = torch.optim.SGD([p], lr=lr, momentum=0.9, weight_decay=wd)
+    else:
+        ropt = import_reference_module("utils.optimizers")
+        topt = ropt.RAdam([p], lr=lr, eps=1e-8, weight_decay=wd)
+    for _ in range(5):
+        topt.zero_grad()
+        p.grad = torch.tensor(g)
+        topt.step()
+    want = p.detach().numpy()
+
+    hp = ap.Namespace(optimizer=name, lr=lr, weight_decay=wd, momentum=0.9)
+    opt = get_optimizer(hp)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    import optax
+
+    for _ in range(5):
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), want, rtol=2e-5, atol=1e-7,
+        err_msg=f"{name} with weight_decay diverges from torch",
+    )
 
 
 def test_trainer_data_parallel_mesh(blender_root, tmp_path):
