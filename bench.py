@@ -210,9 +210,19 @@ def main():
                 rate = bench_renderer(impl, dtype)
                 results[f"{impl}/{dtype}"] = rate
             except Exception as e:  # pallas path may not support all configs
+                # never swallow silently: the driver reads stdout JSON, a
+                # human debugging a regression reads stderr
+                print(f"bench_renderer({impl}/{dtype}) failed: {e!r}", file=sys.stderr)
                 results[f"{impl}/{dtype}"] = None
 
     valid = {k: v for k, v in results.items() if v}
+    if not valid:
+        print(json.dumps({
+            "metric": "coarse+fine ray samples/sec/chip",
+            "value": 0, "unit": "ray_samples/sec", "vs_baseline": 0,
+            "error": "all renderer benches failed; see stderr",
+        }))
+        return
     best_key = max(valid, key=valid.get)
     best = valid[best_key]
 
@@ -224,13 +234,15 @@ def main():
         try:
             impl, dtype = best_key.split("/")
             train_steps = bench_train_step(impl, dtype)
-        except Exception:
+        except Exception as e:
+            print(f"bench_train_step failed: {e!r}", file=sys.stderr)
             train_steps = None
     if time.perf_counter() - t_start < budget:
         try:
             impl, dtype = best_key.split("/")
             train2_steps = bench_train_step(impl, dtype, step2=True)
-        except Exception:
+        except Exception as e:
+            print(f"bench_train_step(step2) failed: {e!r}", file=sys.stderr)
             train2_steps = None
 
     line = {

@@ -60,6 +60,11 @@ TILE_T = int(os.environ.get("SINNERF_TILE_T", "4096"))  # swept on v5e: 4096 > 2
 TILE_BWD_T = int(os.environ.get("SINNERF_TILE_BWD_T", "1024"))
 
 
+def round8(x: int) -> int:
+    """Round up to the TPU f32 sublane granule (8 rows)."""
+    return -(-x // 8) * 8
+
+
 def _pad_cols(w: jnp.ndarray, cols: int) -> jnp.ndarray:
     return jnp.pad(w, ((0, 0), (0, cols - w.shape[1])))
 

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sinnerf_tpu.core.activations import shifted_softplus
 from sinnerf_tpu.ops.fused_mlp_t import (
+    round8,
     DIR_CH,
     DIR_PAD,
     N_FREQS_DIR,
@@ -75,10 +76,6 @@ R_TRAIN = int(os.environ.get("SINNERF_R_TRAIN", "2048"))
 # sets (under the default 16MB it OOMs at compile — keep the env default in
 # sync with this tile).
 R_TRAIN_BWD = int(os.environ.get("SINNERF_R_TRAIN_BWD", "1024"))
-
-
-def _round8(x: int) -> int:
-    return -(-x // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +384,7 @@ def _train_bwd_kernel(
 def _prep(rays_t, z_vals, noise, r_tile):
     """Pad/transpose host-side arrays into kernel layouts."""
     n, s = z_vals.shape
-    s8 = _round8(s)
+    s8 = round8(s)
     n_pad = (-n) % r_tile
     rays8 = rays_t[0:6]
     rays8 = jnp.concatenate(

@@ -36,14 +36,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sinnerf_tpu.ops.fused_mlp_t import round8
+
 import os
 
 R_TILE_PDF = int(os.environ.get("SINNERF_R_TILE_PDF", "2048"))
 EPS = 1e-5  # models/rendering.py:33
-
-
-def _round8(x: int) -> int:
-    return -(-x // 8) * 8
 
 
 def _bitonic_merge_rows(x, L):
@@ -76,7 +74,7 @@ def _kernel(*refs, s: int, k: int, det: bool, l_merge: int):
     wm = w[1 : s - 1] + EPS                      # (m, R)
     pdf = wm / jnp.sum(wm, axis=0, keepdims=True)
 
-    m_pad = _round8(m)
+    m_pad = round8(m)
     if m_pad > m:
         pdf = jnp.concatenate(
             [pdf, jnp.zeros((m_pad - m, r), jnp.float32)], axis=0
@@ -147,7 +145,7 @@ def fused_sample_pdf_merge(
     n, s = z_vals.shape
     k = n_importance
     m = s - 2
-    m_pad = _round8(m)
+    m_pad = round8(m)
     l_merge = 1 << (s + k - 1).bit_length()
 
     n_pad = (-n) % R_TILE_PDF
@@ -158,9 +156,9 @@ def fused_sample_pdf_merge(
         z_t = jnp.pad(z_t, ((0, 0), (0, n_pad)), constant_values=1.0)
         w_t = jnp.pad(w_t, ((0, 0), (0, n_pad)), constant_values=0.0)
 
-    mp1_pad = _round8(m + 1)
+    mp1_pad = round8(m + 1)
     tri = jnp.asarray(
-        np.tril(np.ones((mp1_pad, m_pad), np.float32), k=-1)[:, :m_pad]
+        np.tril(np.ones((mp1_pad, m_pad), np.float32), k=-1)
     )  # row j: ones in columns < j
 
     in_specs = [
@@ -192,7 +190,7 @@ def fused_sample_pdf_merge(
             (s + k, R_TILE_PDF), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((s + k, n + n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_round8(k), R_TILE_PDF), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((round8(k), R_TILE_PDF), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(*args)
     return out[:, :n].T  # (N, S+K)

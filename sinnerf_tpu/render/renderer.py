@@ -266,6 +266,10 @@ def render_rays(
 
     result: Dict[str, jnp.ndarray] = {}
     if settings.test_time:
+        # Deviation: no sigma noise here (the reference's inference() adds
+        # randn*noise_std even in this weights_only branch, rendering.py:224
+        # — but test_time=True has no caller anywhere in the reference tree,
+        # and every real eval config passes noise_std=0)
         sigmas = _query_t(
             params["coarse"], rays_o_t, rays_d_t, z_vals, settings, True
         )

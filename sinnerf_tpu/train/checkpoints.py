@@ -55,9 +55,15 @@ def restructure_like(template, restored):
     """
     if template is None:
         return restored
+    if restored is None:
+        # a field the checkpoint lacks entirely (e.g. resuming with
+        # --dis_weight > 0 from a GAN-less run): keep the live fresh init
+        # rather than crashing on None[...]; covers EmptyState too (orbax
+        # restores empty namedtuples as None)
+        return template if hasattr(template, "_fields") or isinstance(
+            template, (tuple, list, dict)
+        ) else None
     if hasattr(template, "_fields"):  # namedtuple (optax states, TrainState)
-        if restored is None and not template._fields:
-            return type(template)()  # e.g. EmptyState saved/restored as None
         vals = [
             restructure_like(getattr(template, f), restored[f])
             for f in template._fields
@@ -102,7 +108,13 @@ class TopKCheckpointManager:
 
     def save(self, tree: Dict[str, Any], epoch: int, val_psnr: float) -> None:
         name = f"epoch_{epoch}_psnr_{val_psnr:.2f}"
-        keep = len(self.best) < self.top_k or val_psnr > self.best[-1][0]
+        # a NaN score must never enter the ranking: comparisons against NaN
+        # are all False, so one diverged validation would permanently block
+        # every later genuine best-k save (and persist across resumes)
+        finite = np.isfinite(val_psnr)
+        keep = finite and (
+            len(self.best) < self.top_k or val_psnr > self.best[-1][0]
+        )
         dropped = []
         if keep:
             self.best.append((val_psnr, name))

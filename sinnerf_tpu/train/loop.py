@@ -65,6 +65,14 @@ class SinNeRFTrainer:
         key = jax.random.key(getattr(hparams, "seed", 0))
         self.key, *init_keys = jax.random.split(key, 5)
 
+        if hparams.dataset_name not in dataset_dict:
+            # the reference ships default='blender' which is absent from its
+            # own dataset_dict (opt.py:10 vs datasets/__init__.py) — keep the
+            # flag-table parity but fail with a usable message, not KeyError
+            raise ValueError(
+                f"--dataset_name {hparams.dataset_name!r} is not a known "
+                f"dataset; choose one of {sorted(dataset_dict)}"
+            )
         ds_cls = dataset_dict[hparams.dataset_name]
         ds_kwargs = dict(vars(hparams))
         ds_kwargs["img_wh"] = tuple(hparams.img_wh)
