@@ -160,24 +160,21 @@ def sample_item(
     if cfg.fresh_warp:
         std = cfg.angle // 2
         xyz_deg = jax.random.normal(keys[4], (3,)) * std
-        c2w = jnp_poses.rotate_3d(scene["ref_c2w"], *xyz_deg)
+        pseudo_c2w = jnp_poses.rotate_3d(scene["ref_c2w"], *xyz_deg)
         ref_p = jnp_poses.projection_matrix(
             scene["k3"], jnp_poses.c2w_to_w2c_cv(scene["ref_c2w"])
         )
         src_p = jnp_poses.projection_matrix(
-            scene["k3"], jnp_poses.c2w_to_w2c_cv(c2w)
+            scene["k3"], jnp_poses.c2w_to_w2c_cv(pseudo_c2w)
         )
         warp_rgb, warp_depth = forward_warp(
             scene["ref_image"], scene["ref_depth"], ref_p, src_p, zbuffer=False
         )
-        pseudo_rays = _rays_from_dirs(scene["directions"], c2w, near, far)
     else:
         bank_i = item_idx % scene["bank_c2w"].shape[0]
         warp_rgb = scene["bank_rgb"][bank_i]
         warp_depth = scene["bank_depth"][bank_i]
-        pseudo_rays = _rays_from_dirs(
-            scene["directions"], scene["bank_c2w"][bank_i], near, far
-        )
+        pseudo_c2w = scene["bank_c2w"][bank_i]
 
     # ---- 5. pseudo-view patch (fake rays + warp rgb/depth), shared origin --
     def warp_valid(ll, up):
@@ -190,7 +187,13 @@ def sample_item(
 
     ll, up = _pick_patch_origin(keys[5], cfg, warp_valid)
     args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
-    fake_patch = strided_patch(pseudo_rays, *args).reshape(-1, 8)
+    # rays are elementwise per pixel, so pack them for the chosen patch only:
+    # a full-image (H, W, 8) ray tensor would lane-pad 8 -> 128 in HBM (~82MB
+    # materialized per step at 400^2) just to be strided-gathered right back
+    dirs_patch = strided_patch(scene["directions"], *args)  # (psx, psy, 3)
+    fake_patch = _rays_from_dirs(dirs_patch, pseudo_c2w, near, far).reshape(
+        -1, 8
+    )
     warp_patch = strided_patch(warp_rgb, *args).transpose(2, 0, 1)
     warp_patch_depth = strided_patch(warp_depth, *args)
 

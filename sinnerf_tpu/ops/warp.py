@@ -63,22 +63,35 @@ def project_pixels(
 
 
 @partial(jax.jit, static_argnames=("zbuffer",))
-def forward_warp(
-    data: jnp.ndarray,
+def warp_winner(
     depth_ref: jnp.ndarray,
     ref_proj: jnp.ndarray,
     src_proj: jnp.ndarray,
     zbuffer: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward-warp ``data`` (H, W, C) from the reference view into the source
-    view using the reference depth map.
+    """Resolve the warp's splat collisions WITHOUT materializing values.
 
-    Returns (warped (H, W, C), warped_depth (H, W)); unwritten pixels are 0.
+    Returns ``(win, d_flat)``: ``win`` (H*W,) int32 holds, per flattened
+    target pixel, the row-major source ordinal whose splat wins (-1 if no
+    splat lands there); ``d_flat`` (H*W,) is every source pixel's projected
+    depth.  Callers reconstruct any per-pixel quantity q as
+    ``where(win >= 0, q_flat[max(win, 0)], 0)`` — and, crucially, can gather
+    ONLY the pixels they consume (the per-step training sampler reads a
+    strided patch, not the full image).
 
-    ``zbuffer=True`` resolves collisions by nearest depth (LLFF/DTU painter
-    semantics); ``zbuffer=False`` keeps the last-written source pixel
-    (blender fancy-assignment semantics, where "last" = largest source
-    ordinal in row-major order).
+    TPU rationale: the obvious formulation scatters the (N, C) values
+    themselves, but an (N, 3) f32 scatter target is lane-padded to
+    (N, 128) in HBM — the init memset and every scatter pass pay ~42x
+    amplification.  Scattering 1-D ordinals keeps every pass unpadded.
+
+    ``zbuffer=True`` resolves by nearest positive depth with FIRST-writer
+    tie-break — exactly the reference painter's loops
+    (llff_proj.py:144-166, dtu_proj.py:236-273: strict ``>`` keeps the
+    incumbent on equal depth); a non-positive splat never wins (the loop
+    treats existing depth 0 as "empty", so such a splat can't occlude).
+    ``zbuffer=False`` keeps the last-written source pixel (blender
+    fancy-assignment semantics, blender_rot3d.py:103-150, where "last" =
+    largest source ordinal in row-major order).
     """
     h, w = depth_ref.shape
     n = h * w
@@ -90,26 +103,46 @@ def forward_warp(
     ty = jnp.clip(jnp.floor(y_src), 0, h - 1).astype(jnp.int32).reshape(-1)
     flat = ty * w + tx  # (N,)
     d_flat = depth_src.reshape(-1)
-    vals = data.reshape(n, -1)
+    ordinal = jnp.arange(n, dtype=jnp.int32)
 
     if zbuffer:
-        # The painter's loop treats an existing depth of 0 as "empty", so a
-        # zero-depth splat never occludes anything; exclude non-positive
-        # depths from the z-buffer entirely.
         key = jnp.where(d_flat > 0, d_flat, jnp.inf)
-        best = (
-            jnp.full((n,), jnp.inf, dtype=key.dtype).at[flat].min(key)
-        )
+        best = jnp.full((n,), jnp.inf, dtype=key.dtype).at[flat].min(key)
         winner = (key == best[flat]) & (d_flat > 0)
+        # among equal-depth splats the painter keeps the FIRST writer
+        cand = jnp.where(winner, ordinal, n)
+        first = jnp.full((n,), n, jnp.int32).at[flat].min(cand)
+        win = jnp.where(first < n, first, -1)
     else:
-        ordinal = jnp.arange(n, dtype=jnp.int32)
-        best = jnp.full((n,), -1, dtype=jnp.int32).at[flat].max(ordinal)
-        winner = ordinal == best[flat]
+        win = jnp.full((n,), -1, jnp.int32).at[flat].max(ordinal)
+    return win, d_flat
 
-    # Scatter winners; losers go to a dump slot n.
-    idx = jnp.where(winner, flat, n)
-    out = jnp.zeros((n + 1, vals.shape[-1]), vals.dtype).at[idx].set(vals)[:n]
-    out_depth = jnp.zeros((n + 1,), d_flat.dtype).at[idx].set(d_flat)[:n]
+
+@partial(jax.jit, static_argnames=("zbuffer",))
+def forward_warp(
+    data: jnp.ndarray,
+    depth_ref: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    src_proj: jnp.ndarray,
+    zbuffer: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-warp ``data`` (H, W, C) from the reference view into the source
+    view using the reference depth map.
+
+    Returns (warped (H, W, C), warped_depth (H, W)); unwritten pixels are 0.
+    Collision semantics per ``warp_winner``.
+    """
+    h, w = depth_ref.shape
+    n = h * w
+    win, d_flat = warp_winner(depth_ref, ref_proj, src_proj, zbuffer=zbuffer)
+    valid = win >= 0
+    src = jnp.maximum(win, 0)
+    # one packed row gather instead of per-quantity value scatters
+    packed = jnp.concatenate(
+        [data.reshape(n, -1), d_flat[:, None].astype(data.dtype)], axis=-1
+    )[src]
+    out = jnp.where(valid[:, None], packed[:, :-1], 0)
+    out_depth = jnp.where(valid, packed[:, -1], 0)
     return out.reshape(h, w, -1), out_depth.reshape(h, w)
 
 
