@@ -194,6 +194,27 @@ def test_lastwrite_warp_prefers_later_source_pixel():
     np.testing.assert_allclose(float(out_d2[0, 0]), 2.0, rtol=1e-6)
 
 
+def test_zbuffer_equal_depth_keeps_first_writer():
+    """Painter parity on exact depth ties: the loop's strict ``>`` keeps the
+    incumbent, so among equal-depth splats the FIRST source pixel (row-major)
+    wins — pinned by warp_winner's ordinal scatter-min over the tied set."""
+    h, w = 1, 4
+    img = np.zeros((h, w, 3), np.float32)
+    img[0, 1] = [1, 0, 0]  # first of the tied pair
+    img[0, 2] = [0, 1, 0]  # second, same depth
+    depth = np.array([[5.0, 3.0, 3.0, 5.0]], np.float32)
+    ref_p = P.projection_matrix(_simple_k(h, w), np.eye(4))
+    src_p = P.projection_matrix(
+        np.array([[1e-6, 0, 0], [0, 1e-6, 0], [0, 0, 1.0]]), np.eye(4)
+    )
+    out, out_d = forward_warp(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(ref_p),
+        jnp.asarray(src_p), zbuffer=True,
+    )
+    np.testing.assert_allclose(np.asarray(out)[0, 0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(float(out_d[0, 0]), 3.0, rtol=1e-6)
+
+
 def test_warp_translation_shifts_pixels():
     """Pure x-translation of the camera shifts the image opposite-wise."""
     h, w = 20, 20
