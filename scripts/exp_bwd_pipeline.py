@@ -55,12 +55,12 @@ from sinnerf_tpu.ops.fused_mlp_t import (
     _pe_fwd,
     pack_weights_t,
 )
+from sinnerf_tpu.ops.fused_mlp_t import round8 as _round8
 from sinnerf_tpu.ops.fused_render_train_t import (
     RAY_OUT,
     _frlt_bwd,
     _frlt_fwd,
     _prep,
-    _round8,
     _run_fwd,
     _weight_specs,
 )

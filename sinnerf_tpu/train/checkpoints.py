@@ -71,6 +71,17 @@ def restructure_like(template, restored):
         return type(template)(*vals)
     if isinstance(template, (tuple, list)):
         if len(restored) != len(template):
+            # migration: get_optimizer once built inject_hyperparams(optax.adam)
+            # (inner state = adam's own 2-tuple); it now wraps every optimizer
+            # in a chain-of-one (inner state = 1-tuple holding that 2-tuple).
+            # Unwrap the new layer so pre-change checkpoints (e.g. the round-2
+            # hardware soaks) resume with their moment estimates intact.
+            if (
+                len(template) == 1
+                and isinstance(template[0], (tuple, list))
+                and len(template[0]) == len(restored)
+            ):
+                return type(template)([restructure_like(template[0], restored)])
             raise ValueError(
                 f"checkpoint structure mismatch: {len(restored)} entries "
                 f"restored for a {len(template)}-entry {type(template).__name__}"

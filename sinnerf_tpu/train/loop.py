@@ -288,14 +288,26 @@ class SinNeRFTrainer:
         # rebuild optax/namedtuple structure against the live fresh state — a
         # target-less orbax restore returns plain dicts/lists, which crash
         # set_lr/optax.update on the first resumed epoch
-        fields = {
-            f: (
-                restructure_like(getattr(self.state, f), raw[f])
-                if f in raw
-                else getattr(self.state, f)
-            )
-            for f in TrainState._fields
-        }
+        def restore_field(f):
+            if f not in raw:
+                return getattr(self.state, f)
+            try:
+                return restructure_like(getattr(self.state, f), raw[f])
+            except (ValueError, KeyError, TypeError):
+                # optimizer-state layout changes across framework versions are
+                # survivable: fall back to the fresh init (moment estimates
+                # reset, params/schedule unaffected).  Anything else (params,
+                # caches) genuinely mismatching must stay a hard error.
+                if f in ("opt_g", "opt_d"):
+                    print(
+                        f"WARNING: checkpoint field {f!r} has an incompatible "
+                        "optimizer-state structure; resuming with a fresh "
+                        "optimizer state"
+                    )
+                    return getattr(self.state, f)
+                raise
+
+        fields = {f: restore_field(f) for f in TrainState._fields}
         fields = jax.tree_util.tree_map(jnp.asarray, fields)
         # migrate the pre-per-item ViT cache: (384,) -> (B, 384) (the cache
         # became one row per global-batch item for DDP-exact semantics)

@@ -774,3 +774,91 @@ def test_trainer_resume_continues_at_next_epoch(blender_root, tmp_path):
     step_before = int(trainer3.state.step)
     trainer3.fit()
     assert int(trainer3.state.step) == step_before
+
+
+def _degrade_to_orbax_form(tree):
+    """Mimic a target-less orbax restore: namedtuples -> field dicts, tuples
+    -> lists, empty nodes (optax.EmptyState) -> None, arrays -> numpy."""
+    if hasattr(tree, "_fields"):
+        if not tree._fields:
+            return None
+        return {f: _degrade_to_orbax_form(getattr(tree, f)) for f in tree._fields}
+    if isinstance(tree, (tuple, list)):
+        if not tree:
+            return None
+        return [_degrade_to_orbax_form(x) for x in tree]
+    if isinstance(tree, dict):
+        return {k: _degrade_to_orbax_form(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def test_restructure_migrates_pre_chain_optimizer_state():
+    """get_optimizer once built inject_hyperparams(optax.adam) directly; it
+    now wraps every optimizer in a chain-of-one.  A checkpoint written with
+    the old structure (e.g. the round-2 hardware soaks) must restructure into
+    the new template with its adam moment estimates intact, not crash."""
+    import optax
+
+    from sinnerf_tpu.train.checkpoints import restructure_like
+    from sinnerf_tpu.train.optimizers import set_lr
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    old_opt = optax.inject_hyperparams(optax.adam)(learning_rate=2e-4)
+    old_state = old_opt.init(params)
+    # put recognizable values in the moments
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, old_state = old_opt.update(grads, old_state, params)
+    restored = _degrade_to_orbax_form(old_state)
+
+    hp = argparse.Namespace(
+        optimizer="adam", lr=2e-4, momentum=0.9, weight_decay=0.0
+    )
+    new_opt = get_optimizer(hp)
+    template = new_opt.init(params)
+    migrated = restructure_like(template, restored)
+
+    # moment estimates preserved (old inner_state was adam's bare 2-tuple;
+    # new is a 1-tuple chain around it)
+    old_mu = old_state.inner_state[0].mu["w"]
+    new_mu = migrated.inner_state[0][0].mu["w"]
+    np.testing.assert_allclose(np.asarray(new_mu), np.asarray(old_mu))
+    # and the migrated state is live: set_lr + a real update step work
+    migrated = set_lr(migrated, 1e-4)
+    updates, migrated = new_opt.update(grads, migrated, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+
+
+def test_resume_falls_back_to_fresh_optimizer_state(
+    blender_root, tmp_path, capsys
+):
+    """An opt_g structure no migration understands must not brick the
+    checkpoint: resume warns and reinitializes the optimizer state while
+    params and step restore normally."""
+    hp = _hparams(blender_root, str(tmp_path))
+    trainer = SinNeRFTrainer(hp)
+    _run_steps(trainer, 1)
+    trainer._save(3, 9.0)
+    ckpt = os.path.join(hp.ckpt_dir, "test", "last")
+
+    # corrupt the saved opt_g into an alien structure
+    from sinnerf_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    tree = load_checkpoint(ckpt)
+    tree["state"]["opt_g"] = {"alien": [1, 2, 3]}
+    save_checkpoint(os.path.dirname(ckpt), "last", tree)
+
+    hp2 = _hparams(blender_root, str(tmp_path), ckpt_path=ckpt)
+    trainer2 = SinNeRFTrainer(hp2)
+    out = capsys.readouterr().out
+    assert "incompatible" in out and "opt_g" in out
+    assert trainer2.start_epoch == 4
+    # params restored (not fresh): step counter carried over
+    assert int(trainer2.state.step) == int(trainer.state.step)
+    # and training continues from the fresh optimizer state
+    from sinnerf_tpu.train.optimizers import set_lr
+
+    trainer2.state = trainer2.state._replace(
+        opt_g=set_lr(trainer2.state.opt_g, 1e-4)
+    )
+    _run_steps(trainer2, 1)
+    assert int(trainer2.state.step) == int(trainer.state.step) + 1
