@@ -164,3 +164,34 @@ def test_configure_tpu_env_respects_user_override(monkeypatch):
     configure_tpu_env()
     assert "--foo=1" in os.environ["LIBTPU_INIT_ARGS"]
     assert "xla_tpu_scoped_vmem_limit_kib=32768" in os.environ["LIBTPU_INIT_ARGS"]
+
+
+def test_scripts_imports_resolve():
+    """Every `from sinnerf_tpu.* import X` / `from opt import X` in scripts/
+    must resolve: the profiling/experiment scripts are run rarely (on the
+    real TPU), so a rename in the package breaks them silently until the
+    next hardware session (exp_bwd_pipeline once imported a pre-rename
+    `_round8` and died at import).  Static check — no script code runs."""
+    import ast
+    import importlib
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    checked = 0
+    for fname in sorted(os.listdir(scripts_dir)):
+        if not fname.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(scripts_dir, fname)).read(), fname)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom) or node.level:
+                continue
+            mod = node.module or ""
+            if not (mod.startswith("sinnerf_tpu") or mod in ("opt", "eval")):
+                continue
+            imported = importlib.import_module(mod)
+            for alias in node.names:
+                assert hasattr(imported, alias.name), (
+                    f"{fname}: `from {mod} import {alias.name}` does not "
+                    "resolve"
+                )
+                checked += 1
+    assert checked > 20  # the guard itself must be exercising something
