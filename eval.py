@@ -108,7 +108,6 @@ def main(args):
         render_chunked,
         render_chunked_sharded,
     )
-    from sinnerf_tpu.utils.metrics import psnr
     from sinnerf_tpu.utils.visualization import visualize_depth
 
     if args.timestamp == "":
@@ -185,8 +184,13 @@ def main(args):
         imageio.imwrite(os.path.join(dir_name, f'{fname}.png'), img_pred_)
 
         if "rgbs" in sample:
+            # both arrays are already host numpy; -10*log10(mse) on host
+            # (metrics.py:14-15) — re-uploading them over the axon tunnel
+            # just to average a squared difference costs a jit compile plus
+            # two transfers per image
             img_gt = np.asarray(sample["rgbs"]).reshape(h, w, 3)
-            psnrs.append(float(psnr(jnp.asarray(img_gt), jnp.asarray(img_pred))))
+            mse = np.mean((img_pred - img_gt) ** 2)
+            psnrs.append(float(-10.0 * np.log10(mse)))
 
     imageio.mimsave(
         os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=5

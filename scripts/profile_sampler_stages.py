@@ -100,18 +100,14 @@ def main():
         k0, k1, k2 = jax.random.split(k, 3)
         n_main = cfg.num_rays - cfg.n_any
         i_main = jax.random.randint(
-            k0, (n_main,), 0, scene["pool_rays"].shape[0]
+            k0, (n_main,), 0, scene["pool"].shape[0]
         )
-        acc = (
-            scene["pool_rays"][i_main].sum()
-            + scene["pool_rgbs"][i_main].sum()
-            + scene["pool_depth"][i_main].sum()
-        )
+        acc = scene["pool"][i_main].sum()
         if cfg.n_any > 0:
             i_any = jax.random.randint(
-                k1, (cfg.n_any,), 0, scene["any_rays"].shape[0]
+                k1, (cfg.n_any,), 0, scene["any"].shape[0]
             )
-            acc += scene["any_rays"][i_any].sum()
+            acc += scene["any"][i_any].sum()
         j = jax.random.randint(
             k2, (cfg.num_rays,), 0, scene["proj_depth"].shape[0]
         )
@@ -149,11 +145,34 @@ def main():
 
         ll, up = _pick_patch_origin(k5, cfg, warp_valid)
         args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
-        acc += strided_patch(scene["ref_rays"], *args).sum()
         acc += strided_patch(scene["ref_depth"], *args).sum()
         acc += strided_patch(scene["ref_image"], *args).sum()
         acc += strided_patch(scene["directions"], *args).sum()
         return acc
+
+    # ---- channel-major bank patch (the LLFF/DTU/proj bank path) --------
+    # banks live as (P, 3, H, W) so the patch gather runs over the minor
+    # (sublane/lane) axes — measure it, since lane gathers can lower badly
+    h, w = cfg.height, cfg.width
+    bank_cm = jax.random.normal(jax.random.key(9), (10, 3, h, w), jnp.float32)
+
+    @jax.jit
+    def bankpatch_stage(k):
+        kb, k5 = jax.random.split(k)
+        bank_i = jax.random.randint(kb, (), 0, bank_cm.shape[0])
+        warp_rgb = bank_cm[bank_i]
+
+        def warp_valid(ll, up):
+            dpatch = strided_patch(
+                scene["ref_depth"], ll, up, cfg.psx, cfg.psy,
+                cfg.s_row, cfg.s_col,
+            )
+            return jnp.sum(dpatch) != 0
+
+        ll, up = _pick_patch_origin(k5, cfg, warp_valid)
+        rows = ll + jnp.arange(cfg.psx) * cfg.s_row
+        cols = up + jnp.arange(cfg.psy) * cfg.s_col
+        return warp_rgb[:, rows[:, None], cols[None, :]].sum()
 
     @jax.jit
     def full_stage(k):
@@ -165,6 +184,7 @@ def main():
         ("warp", warp_stage),
         ("pools", pools_stage),
         ("patches", patches_stage),
+        ("bankpatch", bankpatch_stage),
         ("full", full_stage),
     ]:
         # key-chained timing: thread the scalar into the next key so the

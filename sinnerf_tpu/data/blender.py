@@ -105,6 +105,19 @@ class BlenderRot3D(SingleImageDataset):
         ridx = ref_idx if ref_idx is not None else _scene_ref_idx(root_dir)
         if ridx is None:
             raise NotImplementedError(f"unknown blender scene: {root_dir}")
+        if depth_type == "gt":
+            # the reference re-reads transforms_mytest.json and pins the
+            # reference frame to mytest index 29 (blender/r_58) for the scenes
+            # that ship a my_testset (blender_rot3d.py:242-252); an explicit
+            # --ref_idx keeps unknown (e.g. synthetic) scenes usable
+            meta = self._load_meta("mytest")
+            if ref_idx is None:
+                if not self.my_test:
+                    raise NotImplementedError(
+                        "depth_type='gt' needs a my_testset scene "
+                        "(lego/hotdog) or an explicit --ref_idx"
+                    )
+                ridx = 29
         self.ref_idx = ridx
 
         if split == "train":
@@ -127,6 +140,9 @@ class BlenderRot3D(SingleImageDataset):
         rgbs = ref_image.reshape(-1, 3)
         depth = ref_depth.reshape(-1, 1)
         nonzero = rgbs.sum(-1) != 3  # non-white pixels (blender_rot3d.py:330)
+        # one (N, 12) [o,d,near,far,rgb,depth] pool per draw source — three
+        # separate (N,<12) arrays would each pad to (N,128) in HBM
+        packed = np.concatenate([rays, rgbs, depth], axis=-1).astype(np.float32)
 
         bank_c2w = self._pseudo_bank(ref_c2w)
         ref_proj = pose_np.projection_matrix(
@@ -149,14 +165,9 @@ class BlenderRot3D(SingleImageDataset):
         scene = {
             "ref_image": ref_image,
             "ref_depth": ref_depth,
-            "ref_rays": rays.reshape(h, w, 8),
             "directions": self.directions.astype(np.float32),
-            "pool_rays": rays[nonzero],
-            "pool_rgbs": rgbs[nonzero],
-            "pool_depth": depth[nonzero],
-            "any_rays": rays,
-            "any_rgbs": rgbs,
-            "any_depth": depth,
+            "pool": packed[nonzero],
+            "any": packed,
             "proj_pose": proj_pose,
             "proj_pix": proj_pix,
             "proj_depth": proj_depth,
@@ -167,11 +178,27 @@ class BlenderRot3D(SingleImageDataset):
         }
         if self.pseudo_mode != "rot3d":
             # proj-style sampling reads precomputed warp banks; rot3d warps a
-            # fresh gaussian pseudo-view on device per item instead
-            scene["bank_rgb"] = np.asarray(bank_rgb, np.float32)
+            # fresh gaussian pseudo-view on device per item instead.  Banks
+            # are stored channel-major (P,3,H,W): a resident (P,H,W,3) pads
+            # 3 -> 128 lanes in HBM (42x its logical size)
+            scene["bank_rgb"] = np.ascontiguousarray(
+                np.asarray(bank_rgb, np.float32).transpose(0, 3, 1, 2)
+            )
             scene["bank_depth"] = np.asarray(bank_depth, np.float32)
         self.scene = self._finalize_scene(scene)
-        self.cfg = SamplerConfig(
+        self.cfg = self._sampler_cfg(h, w, patch_size, sW, sH, num_rays)
+        self.length = max(len(bank_c2w), 1)
+        self.val_rays, self.val_rgbs = [], []
+
+    def _pseudo_bank(self, ref_c2w) -> np.ndarray:
+        """(P, 3, 4) pseudo-view pose bank (blender_rot3d.py:365-370)."""
+        return pose_np.rot3d_grid(ref_c2w, self.angle)  # (125, 3, 4)
+
+    def _sampler_cfg(self, h, w, patch_size, sW, sH, num_rays) -> SamplerConfig:
+        """rot3d batch composition (blender_rot3d.py:443-502): num random rays
+        split num//10 any-pixel + rest nonzero, real patch rejected on
+        ``max != 0``, warp patch rejected on zero depth sum."""
+        return SamplerConfig(
             height=h,
             width=w,
             psx=patch_size,
@@ -180,17 +207,11 @@ class BlenderRot3D(SingleImageDataset):
             s_col=sH,
             num_rays=num_rays,
             n_any=num_rays // 10,
-            fresh_warp=self.pseudo_mode == "rot3d",
+            fresh_warp=True,
             angle=self.angle,
             reject_real_patch="max_nonzero",
             reject_warp_patch=True,
         )
-        self.length = max(len(bank_c2w), 1)
-        self.val_rays, self.val_rgbs = [], []
-
-    def _pseudo_bank(self, ref_c2w) -> np.ndarray:
-        """(P, 3, 4) pseudo-view pose bank (blender_rot3d.py:365-370)."""
-        return pose_np.rot3d_grid(ref_c2w, self.angle)  # (125, 3, 4)
 
     # -------------------------------------------------------------------- val
     def _build_val(self, train_meta):
@@ -253,3 +274,25 @@ class BlenderProj(BlenderRot3D):
         # doubling the (device-warped) dataset init; the hook builds only
         # the 60-pose rot_z line (blender_proj.py:355-356)
         return pose_np.rot_z_linspace(ref_c2w, self.angle, 60)
+
+    def _sampler_cfg(self, h, w, patch_size, sW, sH, num_rays) -> SamplerConfig:
+        """proj batch composition differs from rot3d
+        (blender_proj.py:440-476): the random-ray draw is num nonzero PLUS
+        num any-pixel rays (2*num total, vs rot3d's num//10 split of num),
+        the proj-ray draw stays at num, the real patch is rejected on
+        ``mean > 0.01``, and the warp patch is a single unrejected draw."""
+        return SamplerConfig(
+            height=h,
+            width=w,
+            psx=patch_size,
+            psy=patch_size,
+            s_row=sW,
+            s_col=sH,
+            num_rays=2 * num_rays,
+            n_any=num_rays,
+            n_proj=num_rays,
+            fresh_warp=False,
+            angle=self.angle,
+            reject_real_patch="mean_gt_001",
+            reject_warp_patch=False,
+        )

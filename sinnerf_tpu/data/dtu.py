@@ -205,16 +205,17 @@ class DTUProj(SingleImageDataset):
         scene = {
             "ref_image": ref_image,
             "ref_depth": ref_depth.astype(np.float32),
-            "ref_rays": rays.reshape(h, w, 8),
             "directions": self.directions.astype(np.float32),
-            "pool_rays": rays,
-            "pool_rgbs": rgbs,
-            "pool_depth": depth,
+            # (N, 12) [o,d,near,far,rgb,depth]; banks channel-major (P,3,H,W)
+            # — see the sampler docstring's HBM layout note
+            "pool": np.concatenate([rays, rgbs, depth], -1).astype(np.float32),
             "proj_pose": proj_pose,
             "proj_pix": proj_pix,
             "proj_depth": proj_depth,
             "bank_c2w": bank_c2w,
-            "bank_rgb": bank_rgb.astype(np.float32),
+            "bank_rgb": np.ascontiguousarray(
+                bank_rgb.astype(np.float32).transpose(0, 3, 1, 2)
+            ),
             "bank_depth": bank_depth.astype(np.float32),
             "k3": self.k3.astype(np.float32),
             "ref_c2w": self.ref_c2w[:3, :4].astype(np.float32),

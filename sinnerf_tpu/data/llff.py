@@ -81,6 +81,17 @@ def _image_paths(root_dir: str, n_poses: int = None):
     return paths
 
 
+def _eval_near_far(spheric_poses: bool, bounds, near, far):
+    """Val/test ray near-far: the spheric branch focuses on the central
+    object with near=bounds.min(), far=min(8*near, bounds.max())
+    (llff.py:364-366, llff_proj.py:684-690); otherwise the DSNeRF pair.
+    Training buffers always use the DSNeRF pair (llff_proj.py:547)."""
+    if spheric_poses:
+        near = float(bounds.min())
+        return near, min(8 * near, float(bounds.max()))
+    return near, far
+
+
 class LLFFProj(SingleImageDataset):
     dataset_name = "llff_ray_patch_1image_proj"
 
@@ -129,8 +140,11 @@ class LLFFProj(SingleImageDataset):
                 depth_type, patch_size_x, patch_size_y, sW, sH, num_rays
             )
         elif split == "val":
+            near, far = _eval_near_far(
+                spheric_poses, self.bounds, self.near, self.far
+            )
             self.val_rays = [
-                pack_rays_np(self.directions, p, self.near, self.far)
+                pack_rays_np(self.directions, p, near, far)
                 for p in self.poses
             ]
             self.val_rgbs = [
@@ -150,8 +164,11 @@ class LLFFProj(SingleImageDataset):
             else:
                 poses_test = pose_np.create_spheric_poses(1.1 * self.bounds.min())
                 self.val_rgbs = None
+            near, far = _eval_near_far(
+                spheric_poses, self.bounds, self.near, self.far
+            )
             self.val_rays = [
-                pack_rays_np(self.directions, p, self.near, self.far)
+                pack_rays_np(self.directions, p, near, far)
                 for p in poses_test
             ]
             self.length = len(poses_test)
@@ -188,16 +205,17 @@ class LLFFProj(SingleImageDataset):
         scene = {
             "ref_image": ref_image,
             "ref_depth": ref_depth,
-            "ref_rays": rays.reshape(h, w, 8),
             "directions": self.directions.astype(np.float32),
-            "pool_rays": rays,
-            "pool_rgbs": rgbs,
-            "pool_depth": depth,
+            # (N, 12) [o,d,near,far,rgb,depth]; banks channel-major (P,3,H,W)
+            # — see the sampler docstring's HBM layout note
+            "pool": np.concatenate([rays, rgbs, depth], -1).astype(np.float32),
             "proj_pose": proj_pose,
             "proj_pix": proj_pix,
             "proj_depth": proj_depth,
             "bank_c2w": bank_c2w,
-            "bank_rgb": bank_rgb.astype(np.float32),
+            "bank_rgb": np.ascontiguousarray(
+                bank_rgb.astype(np.float32).transpose(0, 3, 1, 2)
+            ),
             "bank_depth": bank_depth.astype(np.float32),
             "k3": self.k3,
             "ref_c2w": ref_c2w.astype(np.float32),
@@ -266,12 +284,13 @@ class LLFFEval(SingleImageDataset):
         self.focal = focal0 * w / w0
         self.directions = np.asarray(get_ray_directions(h, w, self.focal))
 
+        near, far = _eval_near_far(spheric_poses, self.bounds, self.near, self.far)
         if split == "val":
             # val_num > 1 repeats the center image so every DDP rank of the
             # reference validated the same view (llff.py:170); kept for parity
             val_num = max(1, val_num)
             rays = pack_rays_np(
-                self.directions, self.poses[self.val_idx], self.near, self.far
+                self.directions, self.poses[self.val_idx], near, far
             )
             rgbs = load_image(self.image_paths[self.val_idx], img_wh).reshape(-1, 3)
             self.val_rays = [rays] * val_num
@@ -279,7 +298,7 @@ class LLFFEval(SingleImageDataset):
             self.length = val_num
         elif split == "test_train":
             self.val_rays = [
-                pack_rays_np(self.directions, p, self.near, self.far)
+                pack_rays_np(self.directions, p, near, far)
                 for p in self.poses
             ]
             self.val_rgbs = [
@@ -293,7 +312,7 @@ class LLFFEval(SingleImageDataset):
             else:
                 poses_test = pose_np.create_spheric_poses(1.1 * self.bounds.min())
             self.val_rays = [
-                pack_rays_np(self.directions, p, self.near, self.far)
+                pack_rays_np(self.directions, p, near, far)
                 for p in poses_test
             ]
             self.val_rgbs = None

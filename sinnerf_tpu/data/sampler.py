@@ -46,6 +46,8 @@ class SamplerConfig:
     s_col: int = 1  # col stride (reference sH)
     num_rays: int = 4096
     n_any: int = 0  # blender: num//10 rays drawn from the all-pixel pool
+    n_proj: int = 0  # warped-ray draw count; 0 = num_rays (blender proj draws
+    # 4096 proj rays while its random-ray total is 8192, blender_proj.py:464-502)
     fresh_warp: bool = False  # blender rot3d: new gaussian pseudo-view per item
     angle: int = 20
     reject_real_patch: str = "none"  # 'none' | 'max_nonzero' | 'mean_gt_001'
@@ -103,32 +105,42 @@ def sample_item(
     """Draw one training item.  ``scene`` is the array bundle built by the
     dataset classes (see sinnerf_tpu/data/blender.py etc.):
 
-      ref_image (H,W,3), ref_depth (H,W), ref_rays (H,W,8), directions (H,W,3)
-      pool_rays/rgbs/depth — main ray pool; any_rays/rgbs/depth — blender's
-      all-pixel pool; proj_pose/pix/depth — flat valid warped-pixel index;
-      bank_c2w (P,3,4) pseudo poses (+ bank_rgb/bank_depth warp banks when
-      fresh_warp=False); k3 (3,3), ref_c2w (3,4), near_far (2,).
+      ref_image (H,W,3), ref_depth (H,W), directions (H,W,3)
+      pool (N,12) — main ray pool packed [o, d, near, far, rgb, depth];
+      any (N,12) — blender's all-pixel pool, same packing;
+      proj_pose/pix/depth — flat valid warped-pixel index;
+      bank_c2w (P,3,4) pseudo poses (+ bank_rgb (P,3,H,W) / bank_depth
+      (P,H,W) warp banks when fresh_warp=False); k3 (3,3), ref_c2w (3,4),
+      near_far (2,).
+
+    Layout note: persistent buffers avoid minor dims < 128 where a cheap
+    alternative exists — TPU HBM pads the last dim to 128 lanes, so a
+    resident (P,H,W,3) bank costs 42x its logical size and three separate
+    (N,<12) pools cost three padded (N,128) blocks.  Banks are channel-major,
+    the pools are packed into one (N,12) array, and the ref-view patch rays
+    (``depth_ray``) are re-derived from the direction patch instead of
+    keeping an (H,W,8) ray grid resident.  ``ref_image``/``directions`` stay
+    (H,W,3): the per-pixel row gathers (step 2) and the forward warp need
+    row-major pixels.
     """
     keys = jax.random.split(key, 8)
     near, far = scene["near_far"][0], scene["near_far"][1]
 
     # ---- 1. random ref-view rays (main pool + optional any-pool mix) -------
     n_main = cfg.num_rays - cfg.n_any
-    i_main = jax.random.randint(keys[0], (n_main,), 0, scene["pool_rays"].shape[0])
-    rays = scene["pool_rays"][i_main]
-    rgbs = scene["pool_rgbs"][i_main]
-    depth = scene["pool_depth"][i_main]
+    i_main = jax.random.randint(keys[0], (n_main,), 0, scene["pool"].shape[0])
+    picked = scene["pool"][i_main]
     if cfg.n_any > 0:
         i_any = jax.random.randint(
-            keys[1], (cfg.n_any,), 0, scene["any_rays"].shape[0]
+            keys[1], (cfg.n_any,), 0, scene["any"].shape[0]
         )
-        rays = jnp.concatenate([rays, scene["any_rays"][i_any]])
-        rgbs = jnp.concatenate([rgbs, scene["any_rgbs"][i_any]])
-        depth = jnp.concatenate([depth, scene["any_depth"][i_any]])
+        picked = jnp.concatenate([picked, scene["any"][i_any]])
+    rays, rgbs, depth = picked[:, :8], picked[:, 8:11], picked[:, 11:12]
 
     # ---- 2. projected (warped pseudo-view) rays ----------------------------
+    n_proj = cfg.n_proj if cfg.n_proj else cfg.num_rays
     j = jax.random.randint(
-        keys[2], (cfg.num_rays,), 0, scene["proj_depth"].shape[0]
+        keys[2], (n_proj,), 0, scene["proj_depth"].shape[0]
     )
     pose_idx = scene["proj_pose"][j]
     pix_idx = scene["proj_pix"][j]
@@ -136,7 +148,7 @@ def sample_item(
     c2ws = scene["bank_c2w"][pose_idx]  # (N, 3, 4)
     rays_d = jnp.einsum("nj,nij->ni", dirs_flat, c2ws[:, :, :3])
     rays_o = c2ws[:, :, 3]
-    nf = jnp.broadcast_to(jnp.stack([near, far]), (cfg.num_rays, 2))
+    nf = jnp.broadcast_to(jnp.stack([near, far]), (n_proj, 2))
     rays_proj = jnp.concatenate([rays_o, rays_d, nf], axis=-1)
     depth_proj = scene["proj_depth"][j][:, None]
 
@@ -172,7 +184,7 @@ def sample_item(
         )
     else:
         bank_i = item_idx % scene["bank_c2w"].shape[0]
-        warp_rgb = scene["bank_rgb"][bank_i]
+        warp_rgb = scene["bank_rgb"][bank_i]  # channel-major (3, H, W)
         warp_depth = scene["bank_depth"][bank_i]
         pseudo_c2w = scene["bank_c2w"][bank_i]
 
@@ -194,11 +206,21 @@ def sample_item(
     fake_patch = _rays_from_dirs(dirs_patch, pseudo_c2w, near, far).reshape(
         -1, 8
     )
-    warp_patch = strided_patch(warp_rgb, *args).transpose(2, 0, 1)
+    if cfg.fresh_warp:  # forward_warp emits row-major (H, W, 3)
+        warp_patch = strided_patch(warp_rgb, *args).transpose(2, 0, 1)
+    else:  # resident banks are channel-major (3, H, W)
+        rows = ll + jnp.arange(cfg.psx) * cfg.s_row
+        cols = up + jnp.arange(cfg.psy) * cfg.s_col
+        warp_patch = warp_rgb[:, rows[:, None], cols[None, :]]  # (3, psx, psy)
     warp_patch_depth = strided_patch(warp_depth, *args)
 
     # ---- 6. ref-view patch at the same origin (depth supervision) ----------
-    depth_ray = strided_patch(scene["ref_rays"], *args).reshape(-1, 8)
+    # the ref-view rays at the patch re-derive from the direction patch
+    # already in registers — keeping an (H,W,8) ray grid resident would pad
+    # 8 -> 128 lanes in HBM just to be strided-gathered here
+    depth_ray = _rays_from_dirs(
+        dirs_patch, scene["ref_c2w"], near, far
+    ).reshape(-1, 8)
     depth_gt = strided_patch(scene["ref_depth"], *args).reshape(-1, 1)
     depth_ray_rgb = strided_patch(scene["ref_image"], *args).reshape(-1, 3)
 

@@ -3,6 +3,7 @@ check the emitted batch schema/shapes against the reference contract
 (SURVEY.md §2 items 16-20)."""
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -35,13 +36,14 @@ def dtu_root(tmp_path_factory):
     return make_dtu_scene(str(tmp_path_factory.mktemp("dtu")), (64, 64))
 
 
-def _check_batch_schema(batch, psx, psy, num_rays, bs=1):
+def _check_batch_schema(batch, psx, psy, num_rays, bs=1, n_proj=None):
+    n_proj = num_rays if n_proj is None else n_proj
     want = {
         "rays": (bs, num_rays, 8),
         "rgbs": (bs, num_rays, 3),
         "depth": (bs, num_rays, 1),
-        "rays_proj": (bs, num_rays, 8),
-        "depth_proj": (bs, num_rays, 1),
+        "rays_proj": (bs, n_proj, 8),
+        "depth_proj": (bs, n_proj, 1),
         "real_patch": (bs, 3, psx, psy),
         "rays_full": (bs, psx * psy, 8),
         "warp_patch": (bs, 3, psx, psy),
@@ -120,8 +122,57 @@ def test_blender_proj_train(blender_root):
         ref_idx=0, num_rays=NUM_RAYS,
     )
     assert len(ds) == 60  # rot_z linspace bank
+    # proj batch composition (blender_proj.py:464-476): num nonzero + num
+    # any-pixel random rays (2*num total) but only num proj rays; real patch
+    # rejected on mean>0.01; the warp patch is a single unrejected draw
+    assert ds.cfg.num_rays == 2 * NUM_RAYS
+    assert ds.cfg.n_any == NUM_RAYS
+    assert ds.cfg.n_proj == NUM_RAYS
+    assert not ds.cfg.fresh_warp
+    assert ds.cfg.reject_real_patch == "mean_gt_001"
+    assert not ds.cfg.reject_warp_patch
     batch = ds.sample(jax.random.key(1), step=0)
-    _check_batch_schema(batch, PSX, PSY, NUM_RAYS)
+    _check_batch_schema(batch, PSX, PSY, 2 * NUM_RAYS, n_proj=NUM_RAYS)
+
+
+def test_blender_gt_depth_switches_to_mytest_meta(tmp_path):
+    """depth_type='gt' re-reads transforms_mytest.json and pins the reference
+    frame to mytest index 29 for my_testset scenes (blender_rot3d.py:242-252);
+    an explicit ref_idx keeps unknown scenes usable."""
+    import json
+
+    root = make_blender_scene(str(tmp_path / "lego"), (64, 64))
+    # gt depth lives in my_testset/<image>_400.npy (blender_rot3d.py:343-347)
+    os.makedirs(os.path.join(root, "my_testset"), exist_ok=True)
+    rng = np.random.default_rng(5)
+    np.save(
+        os.path.join(root, "my_testset", "r_0_400.npy"),
+        rng.uniform(2.0, 5.0, size=(64, 64)).astype(np.float32),
+    )
+    with open(os.path.join(root, "transforms_mytest.json")) as f:
+        mytest = json.load(f)
+
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        root, split="train", img_wh=(64, 64), patch_size=PSX,
+        num_rays=NUM_RAYS, depth_type="gt",
+    )
+    assert ds.ref_idx == 29
+    np.testing.assert_allclose(
+        ds.ref_c2w, np.array(mytest["frames"][29]["transform_matrix"])
+    )
+
+    # explicit ref_idx wins for scenes outside the lego/hotdog table
+    plain = make_blender_scene(str(tmp_path / "plain"), (64, 64))
+    os.makedirs(os.path.join(plain, "my_testset"), exist_ok=True)
+    np.save(
+        os.path.join(plain, "my_testset", "r_0_400.npy"),
+        rng.uniform(2.0, 5.0, size=(64, 64)).astype(np.float32),
+    )
+    ds2 = dataset_dict["blender_ray_patch_1image_rot3d"](
+        plain, split="train", img_wh=(64, 64), patch_size=PSX,
+        num_rays=NUM_RAYS, depth_type="gt", ref_idx=3,
+    )
+    assert ds2.ref_idx == 3
 
 
 def test_llff_proj_train(llff_root):
@@ -153,6 +204,26 @@ def test_llff_proj_val_and_test(llff_root):
         llff_root, split="test", img_wh=(64, 48)
     )
     assert test.val_len() == 120  # spiral path
+
+
+def test_llff_spheric_near_far(llff_root):
+    """The spheric val/test branch packs near=bounds.min(),
+    far=min(8*near, bounds.max()) instead of the DSNeRF pair
+    (llff.py:364-366, llff_proj.py:684-690)."""
+    for name in ("llff", "llff_ray_patch_1image_proj"):
+        ds = dataset_dict[name](
+            llff_root, split="test", img_wh=(64, 48), spheric_poses=True
+        )
+        near = float(ds.bounds.min())
+        far = min(8 * near, float(ds.bounds.max()))
+        rays = np.asarray(ds.val_item(0)["rays"])
+        np.testing.assert_allclose(rays[:, 6], near, rtol=1e-6)
+        np.testing.assert_allclose(rays[:, 7], far, rtol=1e-6)
+        # the non-spheric path keeps the DSNeRF pair
+        ds_flat = dataset_dict[name](llff_root, split="test", img_wh=(64, 48))
+        rays_flat = np.asarray(ds_flat.val_item(0)["rays"])
+        np.testing.assert_allclose(rays_flat[:, 6], ds_flat.near, rtol=1e-6)
+        np.testing.assert_allclose(rays_flat[:, 7], ds_flat.far, rtol=1e-6)
 
 
 def test_llff_eval_dataset(llff_root):
@@ -202,10 +273,19 @@ def test_blender_warp_patch_consistency(blender_root):
     )
     batch = ds.sample(jax.random.key(7), step=0)
     depth_ray = np.asarray(batch["depth_ray"])[0]
-    ref_rays = np.asarray(ds.scene["ref_rays"]).reshape(-1, 8)
+    # the full ref-view ray grid, reconstructed host-side (the scene bundle
+    # derives depth_ray from the direction patch instead of keeping it)
+    from sinnerf_tpu.data.base import pack_rays_np
+
+    ref_rays = pack_rays_np(
+        np.asarray(ds.scene["directions"]),
+        np.asarray(ds.scene["ref_c2w"]),
+        2.0,
+        6.0,
+    )
     # every depth_ray row exists in the ref ray grid
     assert all(
-        np.isclose(ref_rays, depth_ray[i]).all(axis=1).any()
+        np.isclose(ref_rays, depth_ray[i], atol=1e-5).all(axis=1).any()
         for i in range(0, PSX * PSY, 37)
     )
 
@@ -244,7 +324,7 @@ def test_rich_llff_scene_multiview_consistent(rich_llff_root):
         rich_llff_root, split="train", img_wh=(126, 94),
         patch_size_x=63, patch_size_y=84, sW=1, sH=1,
     )
-    bank = np.asarray(ds.scene["bank_rgb"])
+    bank = np.asarray(ds.scene["bank_rgb"]).transpose(0, 2, 3, 1)  # back to (P,H,W,3)
     for k in range(len(ds.image_paths)):
         true = load_image(ds.image_paths[k], (126, 94))
         valid = bank[k].sum(-1) != 0
@@ -265,7 +345,7 @@ def test_rich_dtu_scene_multiview_consistent(rich_dtu_root):
         rich_dtu_root, split="train", img_wh=(160, 128),
         patch_size_x=56, patch_size_y=70, sW=1, sH=1,
     )
-    bank = np.asarray(ds.scene["bank_rgb"])
+    bank = np.asarray(ds.scene["bank_rgb"]).transpose(0, 2, 3, 1)  # back to (P,H,W,3)
     for k, vid in enumerate(ds.src_views):
         true = load_image(ds._img_path(vid), (160, 128), resample="bilinear")
         valid = bank[k].sum(-1) != 0
