@@ -9,6 +9,13 @@
 # Runs Step-1 (depth+proj+ViT), then Step-2 (GAN finetune warm-started from
 # the Step-1 checkpoint via --pt_model --nerf_only), then eval.py on the
 # Step-2 checkpoint.  TPU jobs are serial (single axon tunnel).
+#
+# CAVEAT: Step-1 passes `--vit_weight 10 --allow_random_pretrained` — DINO
+# weights are unobtainable (zero egress), so the ViT semantic loss trains
+# against a RANDOMLY INITIALIZED ViT.  That exercises the full ViT
+# forward/cache/refresh path but supplies no semantic supervision; the soak
+# PSNRs evidence the pipeline, not DINO-supervised quality (see README
+# "Hardware results").
 set -euo pipefail
 cd "$(dirname "$0")/.."
 

@@ -394,8 +394,15 @@ class SinNeRFTrainer:
                 opt_g=set_lr(self.state.opt_g, lr)
             )
             if self.state.opt_d is not None:
+                # Reference parity: get_scheduler binds ONLY to the G
+                # optimizer (sinnerf.py:202-210, utils/__init__.py:34-52),
+                # so under PL 0.10 the discriminator trains at a CONSTANT
+                # 0.2x base lr for the whole run — the decay/warmup schedule
+                # never touches it.  Re-assert the constant every epoch so a
+                # resumed checkpoint written by an older (decaying) build
+                # snaps back to the reference value.
                 self.state = self.state._replace(
-                    opt_d=set_lr(self.state.opt_d, lr, rate=0.2)
+                    opt_d=set_lr(self.state.opt_d, hp.lr, rate=0.2)
                 )
             t0 = time.time()
             for i in range(spe):

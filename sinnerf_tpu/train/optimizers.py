@@ -148,9 +148,14 @@ def get_optimizer(hparams: Any, rate: float = 1.0) -> optax.GradientTransformati
                 optax.scale_by_learning_rate(learning_rate),
             )
     elif name == "ranger":
+        # The vendored Ranger's betas default to (0.95, 0.999) and the
+        # reference's get_optimizer does NOT override them (only lr/eps/wd,
+        # utils/__init__.py:26-27 vs optimizers.py:294) — b1 is 0.95 here,
+        # unlike RAdam's 0.9.  eps IS overridden to 1e-8.  Golden-tested vs
+        # the vendored torch Ranger across the k=6 lookahead sync boundary.
         def make(learning_rate):
             inner = optax.chain(
-                optax.scale_by_radam(eps=1e-8),
+                optax.scale_by_radam(b1=0.95, eps=1e-8),
                 *decayed(),
                 optax.scale_by_learning_rate(learning_rate),
             )

@@ -295,19 +295,73 @@ def test_lr_schedule_warmup_matches_reference_scheduler():
         sched.step()
 
 
-@pytest.mark.parametrize("name", ["adam", "sgd", "radam"])
-def test_weight_decay_matches_reference(name):
-    """Golden parity for --weight_decay: torch Adam/SGD couple L2 into the
-    gradient before the moment updates; the vendored RAdam applies a
-    decoupled lr-scaled decay (reference utils/optimizers.py:92-101)."""
+def test_d_lr_constant_across_decay_boundaries(blender_root, tmp_path):
+    """Reference parity: get_scheduler binds ONLY to the G optimizer
+    (sinnerf.py:202-210 builds it around self.optimizer; utils/__init__.py:34
+    never sees opt_d), so under PL 0.10 the discriminator's LR is a CONSTANT
+    0.2x base for the entire run — --decay_step boundaries must move G's LR
+    but never D's."""
+    from sinnerf_tpu.train.optimizers import get_learning_rate
+
+    hp = _hparams(
+        blender_root, str(tmp_path), dis_weight=0.01, num_epochs=3,
+        decay_step=[1, 2], decay_gamma=0.5, num_rays=32,
+    )
+    trainer = SinNeRFTrainer(hp)
+    trainer.train_dataset.length = 1  # one step per epoch
+    d_lrs, g_lrs = [], []
+
+    import sinnerf_tpu.train.loop as loop_mod
+
+    orig_step = loop_mod.train_step
+
+    def recording_step(state, *a, **k):
+        g_lrs.append(get_learning_rate(state.opt_g))
+        d_lrs.append(get_learning_rate(state.opt_d))
+        return orig_step(state, *a, **k)
+
+    loop_mod.train_step = recording_step
+    try:
+        trainer.fit()
+    finally:
+        loop_mod.train_step = orig_step
+
+    # G follows the steplr schedule across both boundaries...
+    np.testing.assert_allclose(g_lrs, [2e-4, 1e-4, 5e-5], rtol=1e-6)
+    # ...while D sits at a constant 0.2x base the whole run
+    np.testing.assert_allclose(d_lrs, [4e-5, 4e-5, 4e-5], rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,wd,n_steps",
+    [
+        ("adam", 0.1, 5),
+        ("sgd", 0.1, 5),
+        ("radam", 0.1, 5),
+        # ranger runs 13 steps so BOTH k=6 lookahead syncs (step 6 and 12)
+        # are crossed — a sync-boundary off-by-one or slow-weight init bug
+        # would diverge here.  Tested with decay on and off.
+        ("ranger", 0.1, 13),
+        ("ranger", 0.0, 13),
+    ],
+)
+def test_weight_decay_matches_reference(name, wd, n_steps):
+    """Golden parity for every --optimizer flavor: torch Adam/SGD couple L2
+    into the gradient before the moment updates; the vendored RAdam/Ranger
+    apply a decoupled lr-scaled decay (reference utils/optimizers.py:92-101,
+    417-419).  Ranger (optimizers.py:292-439) additionally has
+    betas=(0.95, 0.999) defaults that get_optimizer does not override, and
+    the per-param lookahead sync every k=6 steps."""
     torch = pytest.importorskip("torch")
     from tests.reference_util import import_reference_module
 
     import argparse as ap
 
-    wd, lr = 0.1, 1e-2
+    lr = 1e-2
     w0 = np.array([0.5, -1.0, 2.0], np.float32)
-    g = np.array([0.3, 0.1, -0.2], np.float32)
+    # a varying gradient stream so the moments/lookahead have structure
+    rng = np.random.RandomState(3)
+    gs = rng.randn(n_steps, 3).astype(np.float32) * 0.3
 
     p = torch.nn.Parameter(torch.tensor(w0))
     if name == "adam":
@@ -316,8 +370,11 @@ def test_weight_decay_matches_reference(name):
         topt = torch.optim.SGD([p], lr=lr, momentum=0.9, weight_decay=wd)
     else:
         ropt = import_reference_module("utils.optimizers")
-        topt = ropt.RAdam([p], lr=lr, eps=1e-8, weight_decay=wd)
-    for _ in range(5):
+        cls = ropt.RAdam if name == "radam" else ropt.Ranger
+        # reference get_optimizer overrides only lr/eps/weight_decay
+        # (utils/__init__.py:23-27); betas stay at the class defaults
+        topt = cls([p], lr=lr, eps=1e-8, weight_decay=wd)
+    for g in gs:
         topt.zero_grad()
         p.grad = torch.tensor(g)
         topt.step()
@@ -329,12 +386,12 @@ def test_weight_decay_matches_reference(name):
     state = opt.init(params)
     import optax
 
-    for _ in range(5):
+    for g in gs:
         updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(
         np.asarray(params["w"]), want, rtol=2e-5, atol=1e-7,
-        err_msg=f"{name} with weight_decay diverges from torch",
+        err_msg=f"{name} (wd={wd}) diverges from torch",
     )
 
 
