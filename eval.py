@@ -162,7 +162,14 @@ def main(args):
         else:
             results = render_chunked(params, rays, settings, tile=tile)
         img_pred = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
-        fname = f'{i:03d}'
+        # name renders after the source image when the dataset provides one
+        # (reference eval.py:163-166) — LLFF test_train renders are file-level
+        # comparable with the reference's
+        if "fname" in sample:
+            # exact reference formula: only .JPG is stripped (eval.py:164)
+            fname = os.path.basename(sample["fname"]).replace('.JPG', '')
+        else:
+            fname = f'{i:03d}'
 
         if args.save_depth:
             depth_pred = np.nan_to_num(

@@ -91,6 +91,12 @@ class SingleImageDataset:
         )
 
     # validation API -------------------------------------------------------
+    # datasets whose val views come from real source images set val_fnames
+    # so eval.py can name renders after them (reference eval.py:163-166;
+    # only the classic LLFF loader's test_train split emits fname there,
+    # datasets/llff.py:391-392)
+    val_fnames = None
+
     def val_len(self) -> int:
         return len(self.val_rays)
 
@@ -98,6 +104,8 @@ class SingleImageDataset:
         item = {"rays": self.val_rays[idx]}
         if self.val_rgbs is not None and idx < len(self.val_rgbs):
             item["rgbs"] = self.val_rgbs[idx]
+        if self.val_fnames is not None and idx < len(self.val_fnames):
+            item["fname"] = self.val_fnames[idx]
         return item
 
     # helpers --------------------------------------------------------------

@@ -304,6 +304,9 @@ class LLFFEval(SingleImageDataset):
             self.val_rgbs = [
                 load_image(p, img_wh).reshape(-1, 3) for p in self.image_paths
             ]
+            # renders are named after the source images (reference
+            # datasets/llff.py:391-392 emits fname on split.endswith('train'))
+            self.val_fnames = list(self.image_paths)
             self.length = len(self.poses)
         else:
             if not spheric_poses:

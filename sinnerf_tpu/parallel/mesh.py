@@ -12,6 +12,15 @@ axis, GSPMD inserts the gradient ``psum`` automatically inside the one jitted
 train step — there is no separate communication code to maintain.  For
 rendering, ``shard_rays`` shards the ray axis instead (rays are embarrassingly
 parallel, SURVEY.md §5 long-context note).
+
+Multi-process topology (one process per host): the same code runs unchanged
+under ``jax.distributed.initialize`` — ``jax.devices()`` is the GLOBAL device
+list, every process executes the identical program (scene + sample key are
+deterministic, so each host materializes the same global batch), and
+``jax.device_put`` with a mesh-spanning NamedSharding keeps only the local
+shards.  Exercised for real by ``tests/test_multiprocess.py`` (two processes
+x 4 virtual CPU devices, gradient psum over gloo, bit-identical replicated
+params on both).
 """
 
 from __future__ import annotations

@@ -69,6 +69,45 @@ def test_eval_cli_on_synthetic_llff(tmp_path, monkeypatch):
     assert pngs and gifs
 
 
+def test_eval_cli_test_train_names_outputs_after_source_images(
+    tmp_path, monkeypatch
+):
+    """LLFF test_train renders are named after their source images exactly as
+    the reference does (eval.py:163-166 via datasets/llff.py:391-392: basename
+    with only '.JPG' stripped), keeping renders file-level comparable."""
+    root = make_llff_scene(str(tmp_path / "llff"), (32, 24))
+    from sinnerf_tpu.data.llff import LLFFEval
+
+    ds = LLFFEval(root, split="test_train", img_wh=(32, 24))
+    item = ds.val_item(0)
+    assert "fname" in item
+    want_names = {
+        os.path.basename(f).replace(".JPG", "") + ".png"
+        for f in ds.val_fnames
+    }
+
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0)),
+        "fine": init_nerf_params(jax.random.key(1)),
+    }
+    ckpt = save_checkpoint(str(tmp_path), "weights", {"params": params})
+    monkeypatch.chdir(tmp_path)
+    args = eval_cli.get_opts(
+        [
+            "--root_dir", root, "--dataset_name", "llff", "--scene_name", "tt",
+            "--split", "test_train", "--img_wh", "32", "24", "--N_samples", "4",
+            "--N_importance", "4", "--chunk", "1024", "--ckpt_path", ckpt,
+        ]
+    )
+    eval_cli.main(args)
+    out_dir = tmp_path / "results" / "llff" / "tt"
+    got = {p.name for p in out_dir.rglob("*.png")}
+    missing = want_names - got
+    assert not missing, f"renders not named after source images: {missing}"
+    # the numbered fallback must not have fired
+    assert "000.png" not in got
+
+
 def test_eval_cli_save_depth(tmp_path, monkeypatch):
     root = make_llff_scene(str(tmp_path / "llff"), (32, 24))
     params = {

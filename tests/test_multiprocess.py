@@ -1,0 +1,73 @@
+"""Multi-process SPMD smoke: two jax.distributed processes, 4 virtual CPU
+devices each, one composed train_step over the joint 8-device mesh.
+
+SURVEY.md §4 suggests multi-host CPU-mesh tests; the reference itself maxes
+out at 4 GPUs on one host (DDP), but this framework claims a data-parallel
+mesh, so the >1-process topology is exercised once for real: the trainer's
+unchanged sample -> shard_batch -> train_step path with the gradient psum
+riding gloo across processes.  Both processes must produce identical
+replicated params.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_train_step(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo_root, "tests", "multiprocess_worker.py")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # the worker forces CPU via jax.config before backend init; drop any
+    # inherited platform hints so nothing initializes the axon TPU plugin
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"MPSMOKE pid={pid} DONE" in out, f"worker {pid}:\n{out[-4000:]}"
+
+    def parse(out, pid):
+        for line in out.splitlines():
+            if line.startswith(f"MPSMOKE pid={pid} loss="):
+                parts = dict(kv.split("=") for kv in line.split()[1:])
+                return float(parts["loss"]), float(parts["checksum"])
+        raise AssertionError(f"no MPSMOKE line from worker {pid}:\n{out[-2000:]}")
+
+    loss0, ck0 = parse(outs[0], 0)
+    loss1, ck1 = parse(outs[1], 1)
+    # one global step: both processes saw the same loss and, after the
+    # all-reduced update, bit-identical replicated params
+    assert loss0 == pytest.approx(loss1, rel=1e-6)
+    assert ck0 == pytest.approx(ck1, rel=1e-7), (
+        f"replicated params diverged across processes: {ck0} vs {ck1}"
+    )
