@@ -117,33 +117,26 @@ def main():
         return acc + rays_d.sum() + scene["proj_depth"][j].sum()
 
     # ---- patch picks + strided gathers (steps 3, 5, 6) -----------------
-    from sinnerf_tpu.data.sampler import _pick_patch_origin, strided_patch
+    from sinnerf_tpu.data.sampler import (
+        _strided_sum_map,
+        _uniform_valid_origin,
+        strided_patch,
+    )
 
     @jax.jit
     def patches_stage(k):
         k3, k5 = jax.random.split(k)
 
-        def real_valid(ll, up):
-            patch = strided_patch(
-                scene["ref_image"], ll, up, cfg.psx, cfg.psy,
-                cfg.s_row, cfg.s_col,
-            )
-            return jnp.max(patch) != 0
-
-        ll_r, up_r = _pick_patch_origin(k3, cfg, real_valid)
+        i_o = jax.random.randint(k3, (), 0, scene["real_origins"].shape[0])
+        code = scene["real_origins"][i_o]
+        ll_r, up_r = code // cfg.col_limit, code % cfg.col_limit
         acc = strided_patch(
             scene["ref_image"], ll_r, up_r, cfg.psx, cfg.psy,
             cfg.s_row, cfg.s_col,
         ).sum()
 
-        def warp_valid(ll, up):
-            dpatch = strided_patch(
-                scene["ref_depth"], ll, up, cfg.psx, cfg.psy,
-                cfg.s_row, cfg.s_col,
-            )
-            return jnp.sum(dpatch) != 0
-
-        ll, up = _pick_patch_origin(k5, cfg, warp_valid)
+        sums = _strided_sum_map(scene["ref_depth"], cfg)
+        ll, up = _uniform_valid_origin(k5, sums != 0, cfg.col_limit)
         args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
         acc += strided_patch(scene["ref_depth"], *args).sum()
         acc += strided_patch(scene["ref_image"], *args).sum()
@@ -162,17 +155,15 @@ def main():
         bank_i = jax.random.randint(kb, (), 0, bank_cm.shape[0])
         warp_rgb = bank_cm[bank_i]
 
-        def warp_valid(ll, up):
-            dpatch = strided_patch(
-                scene["ref_depth"], ll, up, cfg.psx, cfg.psy,
-                cfg.s_row, cfg.s_col,
-            )
-            return jnp.sum(dpatch) != 0
-
-        ll, up = _pick_patch_origin(k5, cfg, warp_valid)
-        rows = ll + jnp.arange(cfg.psx) * cfg.s_row
-        cols = up + jnp.arange(cfg.psy) * cfg.s_col
-        return warp_rgb[:, rows[:, None], cols[None, :]].sum()
+        kl, ku = jax.random.split(k5)
+        ll = jax.random.randint(kl, (), 0, cfg.row_limit)
+        up = jax.random.randint(ku, (), 0, cfg.col_limit)
+        h_span = (cfg.psx - 1) * cfg.s_row + 1
+        w_span = (cfg.psy - 1) * cfg.s_col + 1
+        block = jax.lax.dynamic_slice(
+            warp_rgb, (0, ll, up), (3, h_span, w_span)
+        )
+        return block[:, :: cfg.s_row, :: cfg.s_col].sum()
 
     @jax.jit
     def full_stage(k):

@@ -35,7 +35,7 @@ from sinnerf_tpu.data.base import (
     load_image,
     pack_rays_np,
 )
-from sinnerf_tpu.data.sampler import SamplerConfig
+from sinnerf_tpu.data.sampler import SamplerConfig, compute_real_origins
 
 # Scene-keyed reference frame table (blender_rot3d.py:223-239).
 REF_IDX = {
@@ -185,8 +185,11 @@ class BlenderRot3D(SingleImageDataset):
                 np.asarray(bank_rgb, np.float32).transpose(0, 3, 1, 2)
             )
             scene["bank_depth"] = np.asarray(bank_depth, np.float32)
-        self.scene = self._finalize_scene(scene)
         self.cfg = self._sampler_cfg(h, w, patch_size, sW, sH, num_rays)
+        origins = compute_real_origins(ref_image, self.cfg)
+        if origins is not None:
+            scene["real_origins"] = origins
+        self.scene = self._finalize_scene(scene)
         self.length = max(len(bank_c2w), 1)
         self.val_rays, self.val_rgbs = [], []
 

@@ -26,7 +26,7 @@ from sinnerf_tpu.data.base import (
     pack_rays_np,
 )
 from sinnerf_tpu.data.depth_io import read_pfm
-from sinnerf_tpu.data.sampler import SamplerConfig
+from sinnerf_tpu.data.sampler import SamplerConfig, compute_real_origins
 
 SCALE_FACTOR = 1.0 / 200  # dtu_proj.py:290
 LIGHT_IDX = 3  # dtu_proj.py:299
@@ -221,7 +221,6 @@ class DTUProj(SingleImageDataset):
             "ref_c2w": self.ref_c2w[:3, :4].astype(np.float32),
             "near_far": np.array([self.near, self.far], np.float32),
         }
-        self.scene = self._finalize_scene(scene)
         self.cfg = SamplerConfig(
             height=h,
             width=w,
@@ -232,5 +231,9 @@ class DTUProj(SingleImageDataset):
             num_rays=num_rays,
             reject_real_patch="mean_gt_001",
         )
+        origins = compute_real_origins(ref_image, self.cfg)
+        if origins is not None:
+            scene["real_origins"] = origins
+        self.scene = self._finalize_scene(scene)
         self.length = len(bank_c2w)
         self.val_rays, self.val_rgbs = [], []

@@ -3,9 +3,15 @@
 Replaces the reference's 8-process torch DataLoader + per-item numpy sampling
 (``blender_ray_patch_1image_rot3d.py:443-528``, ``llff...proj.py:619-669``,
 ``dtu_proj.py:594-654``) with a single jitted function: all random draws come
-from one PRNG key, patch extraction is a strided gather, rejection loops
-become fixed-candidate argmax selection, and the blender pipeline's
-fresh-pseudo-view warp runs as an on-device scatter instead of host numpy.
+from one PRNG key, patch extraction is a dynamic_slice + static strided
+slice, and the blender pipeline's fresh-pseudo-view warp runs as an
+on-device scatter instead of host numpy.  The reference's
+redraw-until-valid patch rejection loops are reproduced *exactly* (uniform
+over the valid-origin set) without any per-step looping: the ref-image
+predicate is static, so its valid origins are enumerated once at dataset
+build (``compute_real_origins``); the fresh-warp predicate is evaluated for
+every origin at once via separable slice-adds (``_strided_sum_map``) and the
+draw indexes the k-th valid entry.
 
 The emitted batch dict uses the reference's exact key schema (the keys
 ``training_step`` actually consumes — see SURVEY.md §2 item 4):
@@ -25,13 +31,14 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sinnerf_tpu.data import jnp_poses
-from sinnerf_tpu.ops.warp import forward_warp
+from sinnerf_tpu.ops.warp import warp_winner
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,7 +59,6 @@ class SamplerConfig:
     angle: int = 20
     reject_real_patch: str = "none"  # 'none' | 'max_nonzero' | 'mean_gt_001'
     reject_warp_patch: bool = False
-    candidates: int = 32
 
     @property
     def row_limit(self) -> int:
@@ -65,27 +71,99 @@ class SamplerConfig:
 
 
 def strided_patch(img: jnp.ndarray, ll, up, psx: int, psy: int, s_row: int, s_col: int):
-    """img[ll : ll+(psx-1)*s+1 : s, up : ...] as a gather; img (H, W, ...)."""
-    rows = ll + jnp.arange(psx) * s_row
-    cols = up + jnp.arange(psy) * s_col
-    return img[rows[:, None], cols[None, :]]
+    """img[ll : ll+(psx-1)*s+1 : s, up : ...] for img (H, W, ...).
+
+    Lowered as a dynamic_slice of the contiguous span + a static strided
+    slice: a 2-D ``img[rows[:,None], cols[None,:]]`` gather lowers to
+    per-point loads on TPU (~60us each at recipe scale, and the rejection
+    paths used to issue dozens), while dynamic_slice is one contiguous copy
+    and the stride-6 downsample is a trivial static slice."""
+    h_span = (psx - 1) * s_row + 1
+    w_span = (psy - 1) * s_col + 1
+    start = (ll, up) + (0,) * (img.ndim - 2)
+    sizes = (h_span, w_span) + img.shape[2:]
+    block = jax.lax.dynamic_slice(img, start, sizes)
+    return block[::s_row, ::s_col]
 
 
-def _pick_patch_origin(key, cfg: SamplerConfig, validity_fn):
-    """Sample ``candidates`` origins, return the first passing ``validity_fn``
-    (the reference uses an unbounded rejection loop; with 32 candidates the
-    all-invalid probability is negligible even for sparse scenes where ~70%
-    of origins fail — 0.7^32 ~ 1e-5, one unvalidated fallback patch per
-    ~100k steps — and we fall back to candidate 0).  Swept on v5e at recipe
-    scale: 16 -> 7.5ms, 32 -> 8.4ms, 64 -> 13.0ms sampler time/step; an
-    exact-parity ``lax.while_loop`` would serialize the sampler's hot
-    path."""
-    k1, k2 = jax.random.split(key)
-    lls = jax.random.randint(k1, (cfg.candidates,), 0, cfg.row_limit)
-    ups = jax.random.randint(k2, (cfg.candidates,), 0, cfg.col_limit)
-    valid = jax.vmap(validity_fn)(lls, ups)
-    i = jnp.argmax(valid)  # first True, or 0 if none
-    return lls[i], ups[i]
+def _strided_sum_map(x: jnp.ndarray, cfg: SamplerConfig) -> jnp.ndarray:
+    """(H, W) -> (row_limit, col_limit) map of strided-patch sums, computed
+    separably with ``psx + psy`` shifted slice-adds (no gathers)."""
+    rl, cl = cfg.row_limit, cfg.col_limit
+    acc = x[0:rl]
+    for i in range(1, cfg.psx):
+        acc = acc + x[i * cfg.s_row : i * cfg.s_row + rl]
+    acc2 = acc[:, 0:cl]
+    for j in range(1, cfg.psy):
+        acc2 = acc2 + acc[:, j * cfg.s_col : j * cfg.s_col + cl]
+    return acc2
+
+
+def _uniform_valid_origin(key, valid: jnp.ndarray, cl: int):
+    """Draw an origin uniformly over the True entries of ``valid``
+    ((row_limit, col_limit) bool) — the same distribution as the reference's
+    redraw-until-valid loop.  All-False degrades to origin (0, 0) (the
+    reference would spin forever; on real warps it cannot happen — validity
+    is 'any covered pixel in the patch')."""
+    flat = valid.reshape(-1)
+    m = flat.sum()
+    u = jax.random.randint(key, (), 0, jnp.maximum(m, 1))
+    idx = jnp.argmax(jnp.cumsum(flat) > u)  # position of the (u+1)-th True
+    return idx // cl, idx % cl
+
+
+def compute_real_origins(
+    ref_image: np.ndarray, cfg: SamplerConfig
+) -> Optional[np.ndarray]:
+    """Precompute the valid real-patch origins as a flat-encoded ``(M,)``
+    int32 array (``ll * col_limit + up``), or None when the dataset has no
+    real-patch rejection.
+
+    The reference's rejection loop (blender_rot3d.py:451-460,
+    dtu_proj.py:594-654) redraws a uniform origin until the patch passes, so
+    the accepted origin is uniform over the *valid* set.  The ref image is
+    static for the whole run, so that set can be enumerated once at dataset
+    build and the per-step draw becomes one index lookup — exact rejection
+    semantics (no all-invalid fallback) and none of the per-step candidate
+    patch gathers.  Encoded flat rather than ``(M, 2)`` because HBM pads the
+    minor dim to 128 lanes (a 2-wide array costs 64x its logical size).
+
+    Validity is evaluated for every origin with separable strided
+    reductions: ``red[r, c] = op_i img[r + i*s_row, c]`` then the same over
+    columns — O(ps * H * W) host numpy, milliseconds at recipe scale.
+    """
+    if cfg.reject_real_patch == "none":
+        return None
+    rl, cl = cfg.row_limit, cfg.col_limit
+    if cfg.reject_real_patch == "max_nonzero":
+        red = ref_image.max(axis=-1)  # true max incl. channels
+        op = np.maximum
+    elif cfg.reject_real_patch == "mean_gt_001":
+        red = ref_image.sum(axis=-1)
+        op = np.add
+    else:
+        raise ValueError(cfg.reject_real_patch)
+    acc = None
+    for i in range(cfg.psx):
+        sl = red[i * cfg.s_row : i * cfg.s_row + rl, :]
+        acc = sl.copy() if acc is None else op(acc, sl)
+    acc2 = None
+    for j in range(cfg.psy):
+        sl = acc[:, j * cfg.s_col : j * cfg.s_col + cl]
+        acc2 = sl.copy() if acc2 is None else op(acc2, sl)
+    if cfg.reject_real_patch == "max_nonzero":
+        valid = acc2 != 0
+    else:
+        valid = acc2 / (cfg.psx * cfg.psy * ref_image.shape[-1]) > 0.01
+    ll, up = np.nonzero(valid)
+    if ll.size == 0:
+        # the reference would spin forever here; fail loudly at build time
+        raise ValueError(
+            "no valid real-patch origin — every candidate patch fails "
+            f"'{cfg.reject_real_patch}' (patch {cfg.psx}x{cfg.psy} "
+            f"stride {cfg.s_row}x{cfg.s_col} on a {red.shape} image)"
+        )
+    return (ll * cl + up).astype(np.int32)
 
 
 def _rays_from_dirs(dirs: jnp.ndarray, c2w: jnp.ndarray, near, far) -> jnp.ndarray:
@@ -153,17 +231,21 @@ def sample_item(
     depth_proj = scene["proj_depth"][j][:, None]
 
     # ---- 3. real (ref-image) patch with rejection --------------------------
-    def real_valid(ll, up):
-        patch = strided_patch(
-            scene["ref_image"], ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
+    # validity depends only on the static ref image, so the valid-origin set
+    # is enumerated once at dataset build (compute_real_origins) and the
+    # draw is a single index lookup — exact reference rejection-loop
+    # semantics with zero per-step candidate gathers
+    if "real_origins" in scene:
+        i_o = jax.random.randint(
+            keys[3], (), 0, scene["real_origins"].shape[0]
         )
-        if cfg.reject_real_patch == "max_nonzero":
-            return jnp.max(patch) != 0
-        if cfg.reject_real_patch == "mean_gt_001":
-            return jnp.mean(patch) > 0.01
-        return jnp.bool_(True)
-
-    ll_r, up_r = _pick_patch_origin(keys[3], cfg, real_valid)
+        code = scene["real_origins"][i_o]
+        ll_r = code // cfg.col_limit
+        up_r = code % cfg.col_limit
+    else:  # no rejection: plain uniform origin
+        k_ll, k_up = jax.random.split(keys[3])
+        ll_r = jax.random.randint(k_ll, (), 0, cfg.row_limit)
+        up_r = jax.random.randint(k_up, (), 0, cfg.col_limit)
     real_patch = strided_patch(
         scene["ref_image"], ll_r, up_r, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
     ).transpose(2, 0, 1)  # (3, psx, psy)
@@ -179,9 +261,18 @@ def sample_item(
         src_p = jnp_poses.projection_matrix(
             scene["k3"], jnp_poses.c2w_to_w2c_cv(pseudo_c2w)
         )
-        warp_rgb, warp_depth = forward_warp(
-            scene["ref_image"], scene["ref_depth"], ref_p, src_p, zbuffer=False
+        # resolve collisions only (1-D ordinal scatter); the full warped RGB
+        # image is never materialized — the depth map is needed whole (patch
+        # validity sums it), but RGB is gathered later for just the chosen
+        # patch's 4k pixels instead of all H*W
+        h_img, w_img = scene["ref_depth"].shape
+        win, d_flat = warp_winner(
+            scene["ref_depth"], ref_p, src_p, zbuffer=False
         )
+        win_map = win.reshape(h_img, w_img)
+        warp_depth = jnp.where(
+            win >= 0, d_flat[jnp.maximum(win, 0)], 0.0
+        ).reshape(h_img, w_img)
     else:
         bank_i = item_idx % scene["bank_c2w"].shape[0]
         warp_rgb = scene["bank_rgb"][bank_i]  # channel-major (3, H, W)
@@ -189,15 +280,18 @@ def sample_item(
         pseudo_c2w = scene["bank_c2w"][bank_i]
 
     # ---- 5. pseudo-view patch (fake rays + warp rgb/depth), shared origin --
-    def warp_valid(ll, up):
-        if not cfg.reject_warp_patch:
-            return jnp.bool_(True)
-        dpatch = strided_patch(
-            warp_depth, ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
-        )
-        return jnp.sum(dpatch) != 0
-
-    ll, up = _pick_patch_origin(keys[5], cfg, warp_valid)
+    if cfg.reject_warp_patch:
+        # warp depth is freshly computed this step (rot3d), so the valid set
+        # can't be precomputed — but it CAN be evaluated for every origin at
+        # once with psx+psy separable slice-adds (far cheaper than candidate
+        # patch gathers), making the draw exactly uniform over valid origins
+        # like the reference's redraw loop (blender_rot3d.py:468-476)
+        sums = _strided_sum_map(warp_depth, cfg)
+        ll, up = _uniform_valid_origin(keys[5], sums != 0, cfg.col_limit)
+    else:
+        k_ll, k_up = jax.random.split(keys[5])
+        ll = jax.random.randint(k_ll, (), 0, cfg.row_limit)
+        up = jax.random.randint(k_up, (), 0, cfg.col_limit)
     args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
     # rays are elementwise per pixel, so pack them for the chosen patch only:
     # a full-image (H, W, 8) ray tensor would lane-pad 8 -> 128 in HBM (~82MB
@@ -206,12 +300,20 @@ def sample_item(
     fake_patch = _rays_from_dirs(dirs_patch, pseudo_c2w, near, far).reshape(
         -1, 8
     )
-    if cfg.fresh_warp:  # forward_warp emits row-major (H, W, 3)
-        warp_patch = strided_patch(warp_rgb, *args).transpose(2, 0, 1)
+    if cfg.fresh_warp:  # gather RGB for the patch's winners only
+        win_p = strided_patch(win_map, *args)  # (psx, psy) int32
+        rgb_flat = scene["ref_image"].reshape(-1, 3)
+        wp = jnp.where(
+            (win_p >= 0)[..., None], rgb_flat[jnp.maximum(win_p, 0)], 0.0
+        )  # (psx, psy, 3) — forward_warp's hole/value semantics, patch-only
+        warp_patch = wp.transpose(2, 0, 1)
     else:  # resident banks are channel-major (3, H, W)
-        rows = ll + jnp.arange(cfg.psx) * cfg.s_row
-        cols = up + jnp.arange(cfg.psy) * cfg.s_col
-        warp_patch = warp_rgb[:, rows[:, None], cols[None, :]]  # (3, psx, psy)
+        h_span = (cfg.psx - 1) * cfg.s_row + 1
+        w_span = (cfg.psy - 1) * cfg.s_col + 1
+        block = jax.lax.dynamic_slice(
+            warp_rgb, (0, ll, up), (3, h_span, w_span)
+        )
+        warp_patch = block[:, :: cfg.s_row, :: cfg.s_col]  # (3, psx, psy)
     warp_patch_depth = strided_patch(warp_depth, *args)
 
     # ---- 6. ref-view patch at the same origin (depth supervision) ----------

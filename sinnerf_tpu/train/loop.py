@@ -389,59 +389,82 @@ class SinNeRFTrainer:
         # shape) just to decide whether to log
         host_step = int(self.state.step)
         for epoch in range(self.start_epoch, max_epochs):
-            lr = lr_for_epoch(hp, epoch)
-            self.state = self.state._replace(
-                opt_g=set_lr(self.state.opt_g, lr)
-            )
-            if self.state.opt_d is not None:
-                # Reference parity: get_scheduler binds ONLY to the G
-                # optimizer (sinnerf.py:202-210, utils/__init__.py:34-52),
-                # so under PL 0.10 the discriminator trains at a CONSTANT
-                # 0.2x base lr for the whole run — the decay/warmup schedule
-                # never touches it.  Re-assert the constant every epoch so a
-                # resumed checkpoint written by an older (decaying) build
-                # snaps back to the reference value.
-                self.state = self.state._replace(
-                    opt_d=set_lr(self.state.opt_d, hp.lr, rate=0.2)
-                )
-            t0 = time.time()
-            for i in range(spe):
-                self.key, k_batch, k_step = jax.random.split(self.key, 3)
-                batch = self.train_dataset.sample(
-                    k_batch,
-                    step=epoch * spe + i,
-                    batch_size=self.global_batch_size,
-                )
-                if self.mesh is not None:
-                    from sinnerf_tpu.parallel.mesh import shard_batch
-
-                    batch = shard_batch(batch, self.mesh)
-                self.state, out = train_step(
-                    self.state,
-                    batch,
-                    k_step,
-                    jnp.asarray(epoch, jnp.float32),
-                    self.cfg,
-                    self.opt_g,
-                    self.opt_d,
-                )
-                host_step += 1
-                step = host_step
-                if step % 10 == 0 and self.writer:
-                    # one batched host fetch for the whole log payload: per-
-                    # leaf np.asarray would pay the ~30ms axon RTT per array
-                    host_out = jax.device_get(out)
-                    self._log_scalars(host_out["metrics"], step, lr)
-                    self._log_images(host_out["images"], step)
-            dt = time.time() - t0
-            if self.writer:
-                self.writer.add_scalar("train/epoch_time", dt, epoch)
+            host_step = self._run_epoch(epoch, spe, host_step)
 
             if (epoch + 1) % hp.check_val_every_n_epoch == 0:
                 val_psnr = self.validate(epoch)
                 best_psnr = max(best_psnr, val_psnr)
                 self._save(epoch, val_psnr)
         return best_psnr
+
+    def _run_epoch(self, epoch: int, spe: int, host_step: int) -> int:
+        """One training epoch: per-epoch LR assert, spe sampled steps,
+        every-10-step deferred logging.  Returns the updated host step."""
+        hp = self.hparams
+        lr = lr_for_epoch(hp, epoch)
+        self.state = self.state._replace(opt_g=set_lr(self.state.opt_g, lr))
+        if self.state.opt_d is not None:
+            # Reference parity: get_scheduler binds ONLY to the G
+            # optimizer (sinnerf.py:202-210, utils/__init__.py:34-52),
+            # so under PL 0.10 the discriminator trains at a CONSTANT
+            # 0.2x base lr for the whole run — the decay/warmup schedule
+            # never touches it.  Re-assert the constant every epoch so a
+            # resumed checkpoint written by an older (decaying) build
+            # snaps back to the reference value.
+            self.state = self.state._replace(
+                opt_d=set_lr(self.state.opt_d, hp.lr, rate=0.2)
+            )
+        t0 = time.time()
+        for i in range(spe):
+            self.key, k_batch, k_step = jax.random.split(self.key, 3)
+            batch = self.train_dataset.sample(
+                k_batch,
+                step=epoch * spe + i,
+                batch_size=self.global_batch_size,
+            )
+            if self.mesh is not None:
+                from sinnerf_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            self.state, out = train_step(
+                self.state,
+                batch,
+                k_step,
+                jnp.asarray(epoch, jnp.float32),
+                self.cfg,
+                self.opt_g,
+                self.opt_d,
+            )
+            host_step += 1
+            step = host_step
+            if step % 10 == 0 and self.writer:
+                # deferred logging: a blocking device_get here stalls the
+                # dispatch pipeline a full ~30ms tunnel RTT every 10 steps
+                # (~3ms/step amortized).  Instead start an async host copy
+                # now and materialize it at the NEXT log step, after 10
+                # newer steps are already queued — the RTT overlaps device
+                # work.  Payload is one batch, RTT >> transfer time.
+                for leaf in jax.tree_util.tree_leaves(out):
+                    leaf.copy_to_host_async()
+                self._flush_pending_log()
+                self._pending_log = (out, step, lr)
+        self._flush_pending_log()
+        dt = time.time() - t0
+        if self.writer:
+            self.writer.add_scalar("train/epoch_time", dt, epoch)
+        return host_step
+
+    def _flush_pending_log(self):
+        """Materialize + write the previous log payload (started with
+        copy_to_host_async); the tensorboard step recorded is the step the
+        payload came from, so the deferral never skews the curves."""
+        if getattr(self, "_pending_log", None) is None:
+            return
+        out, step, lr = self._pending_log
+        self._pending_log = None
+        host_out = jax.device_get(out)
+        self._log_scalars(host_out["metrics"], step, lr)
+        self._log_images(host_out["images"], step)
 
     def _log_scalars(self, metrics: Dict[str, Any], step: int, lr: float):
         if not self.writer:

@@ -375,3 +375,163 @@ def test_dtu_intrinsics_track_img_wh(rich_dtu_root):
     a = d_full[0, 0] / np.linalg.norm(d_full[0, 0])
     b = d_half[0, 0] / np.linalg.norm(d_half[0, 0])
     np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+# ---------------------------------------------------------------- origins
+def _brute_force_origins(img, cfg):
+    """O(origins * patch) reference for compute_real_origins."""
+    from sinnerf_tpu.data.sampler import strided_patch
+
+    valid = []
+    for ll in range(cfg.row_limit):
+        for up in range(cfg.col_limit):
+            rows = ll + np.arange(cfg.psx) * cfg.s_row
+            cols = up + np.arange(cfg.psy) * cfg.s_col
+            patch = img[rows[:, None], cols[None, :]]
+            if cfg.reject_real_patch == "max_nonzero":
+                ok = patch.max() != 0
+            else:
+                ok = patch.mean() > 0.01
+            if ok:
+                valid.append(ll * cfg.col_limit + up)
+    return np.array(valid, np.int32)
+
+
+@pytest.mark.parametrize("mode", ["max_nonzero", "mean_gt_001"])
+def test_compute_real_origins_matches_brute_force(mode):
+    """The separable strided reduction enumerates exactly the origins the
+    reference's rejection loop (blender_rot3d.py:451-460) would accept."""
+    from sinnerf_tpu.data.sampler import SamplerConfig, compute_real_origins
+
+    rng = np.random.default_rng(3)
+    img = np.zeros((40, 48, 3), np.float32)
+    # sparse blobs so both accept and reject origins exist
+    for _ in range(6):
+        r, c = rng.integers(0, 30), rng.integers(0, 38)
+        img[r : r + 4, c : c + 4] = rng.random((4, 4, 3))
+    cfg = SamplerConfig(
+        height=40, width=48, psx=5, psy=5, s_row=3, s_col=2,
+        reject_real_patch=mode,
+    )
+    got = compute_real_origins(img, cfg)
+    want = _brute_force_origins(img, cfg)
+    assert 0 < len(want) < cfg.row_limit * cfg.col_limit  # non-trivial case
+    np.testing.assert_array_equal(np.sort(got), want)
+
+
+def test_compute_real_origins_all_invalid_raises():
+    from sinnerf_tpu.data.sampler import SamplerConfig, compute_real_origins
+
+    cfg = SamplerConfig(
+        height=32, width=32, psx=4, psy=4, reject_real_patch="max_nonzero"
+    )
+    with pytest.raises(ValueError, match="no valid real-patch origin"):
+        compute_real_origins(np.zeros((32, 32, 3), np.float32), cfg)
+
+
+def test_sampled_real_patch_always_valid(blender_root):
+    """With the precomputed origin list every drawn real patch satisfies the
+    rejection predicate — no 'all candidates invalid' fallback remains."""
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, img_wh=(64, 64), patch_size=PSX, sW=2, sH=2,
+        num_rays=NUM_RAYS, with_ref=True, load_depth=True, depth_type="nerf",
+        ref_idx=0,
+    )
+    assert "real_origins" in ds.scene
+    key = jax.random.key(11)
+    for step in range(8):
+        key, k = jax.random.split(key)
+        batch = ds.sample(k, step=step, batch_size=2)
+        for b in range(2):
+            assert float(np.max(np.asarray(batch["real_patch"][b]))) > 0
+
+
+def test_strided_sum_map_matches_patches():
+    from sinnerf_tpu.data.sampler import (
+        SamplerConfig, _strided_sum_map, strided_patch,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((30, 26)).astype(np.float32))
+    cfg = SamplerConfig(height=30, width=26, psx=4, psy=3, s_row=3, s_col=5)
+    sums = np.asarray(_strided_sum_map(x, cfg))
+    assert sums.shape == (cfg.row_limit, cfg.col_limit)
+    for ll, up in [(0, 0), (3, 2), (cfg.row_limit - 1, cfg.col_limit - 1)]:
+        want = float(
+            np.sum(np.asarray(strided_patch(x, ll, up, 4, 3, 3, 5)))
+        )
+        np.testing.assert_allclose(sums[ll, up], want, rtol=1e-5)
+
+
+def test_uniform_valid_origin_distribution():
+    """The k-th-valid draw is uniform over the True entries — the same
+    distribution as the reference's redraw-until-valid loop."""
+    from sinnerf_tpu.data.sampler import _uniform_valid_origin
+    import jax.numpy as jnp
+
+    valid = np.zeros((5, 7), bool)
+    chosen = [(0, 1), (2, 3), (4, 6), (1, 0)]
+    for r, c in chosen:
+        valid[r, c] = True
+    valid_j = jnp.asarray(valid)
+    counts = {rc: 0 for rc in chosen}
+    key = jax.random.key(0)
+    n = 2000
+    keys = jax.random.split(key, n)
+    lls, ups = jax.vmap(
+        lambda k: _uniform_valid_origin(k, valid_j, 7)
+    )(keys)
+    for ll, up in zip(np.asarray(lls), np.asarray(ups)):
+        counts[(int(ll), int(up))] += 1  # KeyError if an invalid origin drawn
+    for rc in chosen:  # ~500 each; 5 sigma ~ +-110
+        assert abs(counts[rc] - n / 4) < 150, counts
+
+
+def test_fresh_warp_patch_matches_full_forward_warp(blender_root):
+    """The sampler's patch-only winner gather must reproduce exactly the
+    strided patch of the full-image forward_warp (which it replaced to avoid
+    materializing H*W warped RGB per step)."""
+    import jax.numpy as jnp
+
+    from sinnerf_tpu.data import jnp_poses
+    from sinnerf_tpu.data.sampler import strided_patch
+    from sinnerf_tpu.ops.warp import forward_warp, warp_winner
+
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
+        sW=2, sH=2, ref_idx=0, num_rays=NUM_RAYS,
+    )
+    scene = ds.scene
+    cfg = ds.cfg
+    xyz_deg = np.array([7.0, -4.0, 2.0], np.float32)
+    pseudo_c2w = jnp_poses.rotate_3d(scene["ref_c2w"], *xyz_deg)
+    ref_p = jnp_poses.projection_matrix(
+        scene["k3"], jnp_poses.c2w_to_w2c_cv(scene["ref_c2w"])
+    )
+    src_p = jnp_poses.projection_matrix(
+        scene["k3"], jnp_poses.c2w_to_w2c_cv(pseudo_c2w)
+    )
+    full_rgb, full_depth = forward_warp(
+        scene["ref_image"], scene["ref_depth"], ref_p, src_p, zbuffer=False
+    )
+    h, w = scene["ref_depth"].shape
+    win, d_flat = warp_winner(
+        scene["ref_depth"], ref_p, src_p, zbuffer=False
+    )
+    win_map = win.reshape(h, w)
+    depth_map = jnp.where(
+        win >= 0, d_flat[jnp.maximum(win, 0)], 0.0
+    ).reshape(h, w)
+    np.testing.assert_array_equal(np.asarray(depth_map), np.asarray(full_depth))
+    for ll, up in [(0, 0), (5, 9), (cfg.row_limit - 1, cfg.col_limit - 1)]:
+        args = (ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col)
+        win_p = strided_patch(win_map, *args)
+        wp = jnp.where(
+            (win_p >= 0)[..., None],
+            scene["ref_image"].reshape(-1, 3)[jnp.maximum(win_p, 0)],
+            0.0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(wp), np.asarray(strided_patch(full_rgb, *args))
+        )
