@@ -232,3 +232,51 @@ def test_warp_translation_shifts_pixels():
     assert len(xs) >= 1
     # point should appear left of column 10: x' = x - f*t/z = 10 - 20*0.5/2 = 5
     assert abs(int(xs[0]) - 5) <= 1 and int(ys[0]) == 10
+
+
+def test_patch_winner_gather_matches_full_forward_warp():
+    """The sampler's patch-only reconstruction off 1-D winner ordinals
+    (sampler.py step 4/5: gather RGB for just the chosen patch) must equal
+    the full-image forward_warp at every origin — same hole/value
+    semantics, both collision modes."""
+    from sinnerf_tpu.data.sampler import strided_patch
+    from sinnerf_tpu.ops.warp import warp_winner
+
+    rng = np.random.default_rng(7)
+    h, w = 18, 22
+    img = rng.uniform(0.1, 1.0, size=(h, w, 3)).astype(np.float32)
+    depth = rng.uniform(2.0, 5.0, size=(h, w)).astype(np.float32)
+    k = _simple_k(h, w, f=30.0)
+    src_c2w = P.rotate_3d(np.eye(4), 4.0, -2.0, 3.0)
+    src_c2w[:3, 3] += [0.04, -0.02, 0.03]
+    ref_p = P.projection_matrix(k, P.convert_c2w_to_w2c_cv(np.eye(4)))
+    src_p = P.projection_matrix(k, P.convert_c2w_to_w2c_cv(src_c2w))
+
+    for zbuffer in (False, True):
+        full_rgb, full_d = forward_warp(
+            jnp.asarray(img), jnp.asarray(depth),
+            jnp.asarray(ref_p), jnp.asarray(src_p), zbuffer=zbuffer,
+        )
+        win, d_flat = warp_winner(
+            jnp.asarray(depth), jnp.asarray(ref_p), jnp.asarray(src_p),
+            zbuffer=zbuffer,
+        )
+        # full-image depth reconstruction (sampler.py step 4)
+        rec_d = jnp.where(
+            win >= 0, d_flat[jnp.maximum(win, 0)], 0.0
+        ).reshape(h, w)
+        np.testing.assert_array_equal(np.asarray(rec_d), np.asarray(full_d))
+
+        win_map = win.reshape(h, w)
+        rgb_flat = jnp.asarray(img).reshape(-1, 3)
+        psx, psy, s_row, s_col = 4, 5, 3, 2
+        for ll in range(h - (psx - 1) * s_row):
+            for up in range(w - (psy - 1) * s_col):
+                win_p = strided_patch(win_map, ll, up, psx, psy, s_row, s_col)
+                rec = jnp.where(
+                    (win_p >= 0)[..., None],
+                    rgb_flat[jnp.maximum(win_p, 0)],
+                    0.0,
+                )
+                want = strided_patch(full_rgb, ll, up, psx, psy, s_row, s_col)
+                np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
