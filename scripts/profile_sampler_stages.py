@@ -158,12 +158,11 @@ def main():
         kl, ku = jax.random.split(k5)
         ll = jax.random.randint(kl, (), 0, cfg.row_limit)
         up = jax.random.randint(ku, (), 0, cfg.col_limit)
-        h_span = (cfg.psx - 1) * cfg.s_row + 1
-        w_span = (cfg.psy - 1) * cfg.s_col + 1
-        block = jax.lax.dynamic_slice(
-            warp_rgb, (0, ll, up), (3, h_span, w_span)
-        )
-        return block[:, :: cfg.s_row, :: cfg.s_col].sum()
+        from sinnerf_tpu.data.sampler import strided_patch_cm
+
+        return strided_patch_cm(
+            warp_rgb, ll, up, cfg.psx, cfg.psy, cfg.s_row, cfg.s_col
+        ).sum()
 
     @jax.jit
     def full_stage(k):

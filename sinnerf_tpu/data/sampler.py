@@ -86,6 +86,17 @@ def strided_patch(img: jnp.ndarray, ll, up, psx: int, psy: int, s_row: int, s_co
     return block[::s_row, ::s_col]
 
 
+def strided_patch_cm(img: jnp.ndarray, ll, up, psx: int, psy: int, s_row: int, s_col: int):
+    """Channel-major variant of :func:`strided_patch`: img (C, H, W) ->
+    (C, psx, psy), same dynamic_slice-of-span + static-stride lowering."""
+    h_span = (psx - 1) * s_row + 1
+    w_span = (psy - 1) * s_col + 1
+    block = jax.lax.dynamic_slice(
+        img, (0, ll, up), (img.shape[0], h_span, w_span)
+    )
+    return block[:, ::s_row, ::s_col]
+
+
 def _strided_sum_map(x: jnp.ndarray, cfg: SamplerConfig) -> jnp.ndarray:
     """(H, W) -> (row_limit, col_limit) map of strided-patch sums, computed
     separably with ``psx + psy`` shifted slice-adds (no gathers)."""
@@ -102,9 +113,11 @@ def _strided_sum_map(x: jnp.ndarray, cfg: SamplerConfig) -> jnp.ndarray:
 def _uniform_valid_origin(key, valid: jnp.ndarray, cl: int):
     """Draw an origin uniformly over the True entries of ``valid``
     ((row_limit, col_limit) bool) — the same distribution as the reference's
-    redraw-until-valid loop.  All-False degrades to origin (0, 0) (the
-    reference would spin forever; on real warps it cannot happen — validity
-    is 'any covered pixel in the patch')."""
+    redraw-until-valid loop.  All-False degrades to origin (0, 0), whose
+    patch is then all holes/zero-depth and fully masked downstream (the
+    reference's loop would spin forever instead).  Reachable only when a
+    multi-sigma Gaussian rotation clamps every splat onto the last image
+    row/column (outside every patch window) — a <1e-4 tail per step."""
     flat = valid.reshape(-1)
     m = flat.sum()
     u = jax.random.randint(key, (), 0, jnp.maximum(m, 1))
@@ -125,7 +138,10 @@ def compute_real_origins(
     static for the whole run, so that set can be enumerated once at dataset
     build and the per-step draw becomes one index lookup — exact rejection
     semantics (no all-invalid fallback) and none of the per-step candidate
-    patch gathers.  Encoded flat rather than ``(M, 2)`` because HBM pads the
+    patch gathers.  "Exact" up to float32 summation order: the separable
+    accumulation can round differently from a direct ``patch.mean()`` for a
+    patch sitting exactly at the 0.01 threshold (~1e-7 relative — no real
+    image puts a patch there).  Encoded flat rather than ``(M, 2)`` because HBM pads the
     minor dim to 128 lanes (a 2-wide array costs 64x its logical size).
 
     Validity is evaluated for every origin with separable strided
@@ -201,6 +217,12 @@ def sample_item(
     (H,W,3): the per-pixel row gathers (step 2) and the forward warp need
     row-major pixels.
     """
+    if cfg.reject_real_patch != "none" and "real_origins" not in scene:
+        raise ValueError(
+            f"cfg.reject_real_patch={cfg.reject_real_patch!r} but the scene "
+            "has no 'real_origins' — the dataset must call "
+            "compute_real_origins(ref_image, cfg) at build time"
+        )
     keys = jax.random.split(key, 8)
     near, far = scene["near_far"][0], scene["near_far"][1]
 
@@ -308,12 +330,7 @@ def sample_item(
         )  # (psx, psy, 3) — forward_warp's hole/value semantics, patch-only
         warp_patch = wp.transpose(2, 0, 1)
     else:  # resident banks are channel-major (3, H, W)
-        h_span = (cfg.psx - 1) * cfg.s_row + 1
-        w_span = (cfg.psy - 1) * cfg.s_col + 1
-        block = jax.lax.dynamic_slice(
-            warp_rgb, (0, ll, up), (3, h_span, w_span)
-        )
-        warp_patch = block[:, :: cfg.s_row, :: cfg.s_col]  # (3, psx, psy)
+        warp_patch = strided_patch_cm(warp_rgb, *args)  # (3, psx, psy)
     warp_patch_depth = strided_patch(warp_depth, *args)
 
     # ---- 6. ref-view patch at the same origin (depth supervision) ----------

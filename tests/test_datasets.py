@@ -535,3 +535,23 @@ def test_fresh_warp_patch_matches_full_forward_warp(blender_root):
         np.testing.assert_array_equal(
             np.asarray(wp), np.asarray(strided_patch(full_rgb, *args))
         )
+
+
+def test_sampler_rejects_missing_real_origins():
+    """reject_real_patch without precomputed scene['real_origins'] must fail
+    loudly at trace time, not silently fall back to unrejected origins."""
+    import jax
+    import jax.numpy as jnp
+
+    from sinnerf_tpu.data.sampler import SamplerConfig, sample_item
+
+    cfg = SamplerConfig(
+        height=32, width=32, psx=4, psy=4, reject_real_patch="max_nonzero"
+    )
+    with pytest.raises(ValueError, match="real_origins"):
+        sample_item(
+            {"ref_image": jnp.zeros((32, 32, 3))},
+            jax.random.PRNGKey(0),
+            0,
+            cfg,
+        )
