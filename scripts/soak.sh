@@ -19,9 +19,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-FAMILY=${1:?usage: soak.sh llff|dtu [epochs1] [epochs2]}
-E1=${2:-2000}
-E2=${3:-2000}
+FAMILY=${1:?usage: soak.sh llff|dtu|lego [epochs1] [epochs2]}
+# blender epochs are 125 steps each (125-pose bank), so the lego defaults
+# are epoch counts matching the round-2/3 evidence scale (20k + 2.5k steps);
+# the published recipe's full 2000 epochs = 250k steps ~ 9 h.
+if [ "$FAMILY" = lego ]; then
+  E1=${2:-160}
+  E2=${3:-20}
+else
+  E1=${2:-2000}
+  E2=${3:-2000}
+fi
 CK=/tmp/soak_ck
 LOG=/tmp/soak_log
 
@@ -47,6 +55,28 @@ make_llff_scene_rich('$ROOT', img_wh=(504, 378), n_images=10)"
   EVAL=(--dataset_name llff_ray_patch_1image_proj --root_dir "$ROOT"
     --N_importance 64 --img_wh 504 378 --split test_train
     --ckpt_path "$CK/llff_room_s4_2ft/last" --timestamp soak)
+elif [ "$FAMILY" = lego ]; then
+  ROOT=/tmp/rich_lego/lego   # 'lego' in the path selects the my_testset branch
+  [ -d "$ROOT" ] || python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+from sinnerf_tpu.data.synthetic import make_blender_scene_rich
+make_blender_scene_rich('$ROOT', img_wh=(400, 400))"
+  COMMON=(--dataset_name blender_ray_patch_1image_rot3d --root_dir "$ROOT"
+    --N_importance 64 --img_wh 400 400 --batch_size 1 --optimizer adam
+    --lr_scheduler steplr --decay_step 500 1000 --decay_gamma 0.5
+    --with_ref --patch_size 64 --proj_weight 1
+    --depth_smooth_weight 0 --num_gpus 1 --load_depth --depth_type nerf
+    --model sinnerf --depth_weight 8 --ckpt_dir "$CK" --log_dir "$LOG"
+    --check_val_every_n_epoch 10)
+  EXP1=lego_s6 EXP2=lego_s6_4ft
+  S1=(--num_epochs "$E1" --lr 2e-4 --sW 6 --sH 6 --dis_weight 0
+    --vit_weight 10 --allow_random_pretrained --exp_name lego_s6)
+  S2=(--num_epochs "$E2" --lr 5e-5 --sW 4 --sH 4 --dis_weight 0.01
+    --vit_weight 0 --exp_name lego_s6_4ft
+    --pt_model "$CK/lego_s6/last" --nerf_only)
+  EVAL=(--dataset_name blender_ray_patch_1image_rot3d --root_dir "$ROOT"
+    --N_importance 64 --img_wh 400 400 --split val
+    --ckpt_path "$CK/lego_s6_4ft/last" --timestamp soak)
 elif [ "$FAMILY" = dtu ]; then
   ROOT=/tmp/rich_dtu
   [ -d "$ROOT" ] || python -c "

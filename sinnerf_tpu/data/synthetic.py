@@ -290,7 +290,16 @@ def _trace(rays_o, rays_d, objs):
     # checkered shell interior (catches every remaining ray: the cameras sit
     # inside the shell, so no pixel is left black => the warp validity mask
     # (rgb-sum != 0, base.py build_proj_index) stays meaningful).  Rays start
-    # inside => take the FAR quadratic root (the exit point).
+    # inside => take the FAR quadratic root (the exit point).  Shell-less
+    # scenes (blender: transparent background, alpha from t > 0) skip it and
+    # report misses as rgb 0 / t 0.
+    if objs.get("shell_r") is None:
+        left = ~np.isfinite(tbest)
+        rgb[left] = 0.0
+        tbest[left] = 0.0
+        return np.clip(rgb, 0.0, 1.0).astype(np.float32), tbest.astype(
+            np.float32
+        )
     sc, sr = objs["shell_c"], objs["shell_r"]
     oc = rays_o - sc
     a = (rays_d * rays_d).sum(-1)
@@ -493,4 +502,93 @@ def make_dtu_scene_rich(
         )
     with open(os.path.join(root, "Cameras", "pair.txt"), "w") as f:
         f.write("\n".join(pair_lines))
+    return root
+
+
+def make_blender_scene_rich(
+    root: str,
+    img_wh: Tuple[int, int] = (400, 400),
+    n_train: int = 21,
+    seed: int = 0,
+) -> str:
+    """Multi-view-consistent NeRF-synthetic capture (the lego-recipe stand-in).
+
+    A cluster of textured spheres around the world origin rendered from the
+    standard blender rig (radius-4 sphere, phi -30): RGBA train frames (alpha
+    from ray hits — background transparent, blended to white by the loader,
+    ``blender_rot3d.py:291``) + z-depth ``depth_nerf`` npys (0 at background),
+    and a TRUE ``transforms_mytest.json`` split — 60 frames at theta
+    3*(i-30) rendered for real, so val PSNR measures novel-view quality
+    against consistent ground truth (the loader's my_testset slice,
+    ``blender_rot3d.py:169-197``).  Train frame i sits at theta 10*(i-(n-1)),
+    putting the default lego ref_idx (20, REF_IDX table) at theta 0 == the
+    mytest center."""
+    from sinnerf_tpu.core.rays import get_ray_directions
+
+    w, h = img_wh
+    assert w == h, "blender scenes are square"
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth_nerf"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    camera_angle_x = 0.6911112070083618
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+    dirs = np.asarray(get_ray_directions(h, w, focal)).reshape(-1, 3)
+
+    # sphere cluster inside |c| ~ 1.1 => z-depth in ~[2.3, 5.7] from the
+    # radius-4 rig, safely inside the blender NEAR/FAR = [2, 6]
+    cols = np.array(
+        [
+            [0.85, 0.25, 0.20],
+            [0.20, 0.70, 0.30],
+            [0.25, 0.35, 0.85],
+            [0.85, 0.75, 0.20],
+            [0.70, 0.25, 0.75],
+            [0.25, 0.75, 0.75],
+            [0.90, 0.55, 0.25],
+        ]
+    )
+    spheres = []
+    for k in range(7):
+        center = rng.uniform(-1, 1, 3) * np.array([0.8, 0.6, 0.8])
+        radius = rng.uniform(0.28, 0.5)
+        freq = rng.uniform(4.0, 9.0) / radius
+        spheres.append((center, radius, cols[k], freq))
+    objs = {"spheres": spheres, "shell_c": None, "shell_r": None}
+
+    def render(c2w):
+        o = np.broadcast_to(c2w[:3, 3], dirs.shape)
+        d = dirs @ c2w[:3, :3].T
+        rgb, t = _trace(o, d, objs)
+        rgba = np.concatenate(
+            [rgb, (t > 0).astype(np.float32)[:, None]], axis=-1
+        )
+        return rgba.reshape(h, w, 4), t.reshape(h, w)
+
+    frames = []
+    for i in range(n_train):
+        c2w = _blender_pose(4.0, 10.0 * (i - (n_train - 1)), -30.0)
+        rgba, depth = render(c2w)
+        name = f"train/r_{i}"
+        _save_png(os.path.join(root, name + ".png"), rgba)
+        np.save(os.path.join(root, "depth_nerf", f"r_{i}.npy"), depth)
+        frames.append(
+            {"file_path": f"./{name}", "transform_matrix": c2w.tolist()}
+        )
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+    mytest_frames = []
+    for i in range(60):
+        c2w = _blender_pose(4.0, 3.0 * (i - 30), -30.0)
+        rgba, _ = render(c2w)
+        name = f"train/mytest_{i}"
+        _save_png(os.path.join(root, name + ".png"), rgba)
+        mytest_frames.append(
+            {"file_path": f"./{name}", "transform_matrix": c2w.tolist()}
+        )
+    with open(os.path.join(root, "transforms_mytest.json"), "w") as f:
+        json.dump(
+            {"camera_angle_x": camera_angle_x, "frames": mytest_frames}, f
+        )
     return root

@@ -555,3 +555,79 @@ def test_sampler_rejects_missing_real_origins():
             0,
             cfg,
         )
+
+
+@pytest.fixture(scope="module")
+def rich_blender_root(tmp_path_factory):
+    from sinnerf_tpu.data.synthetic import make_blender_scene_rich
+
+    # dir name contains 'lego' so the loader takes the my_testset branch
+    # (REF_IDX 20, mytest val slice) exactly as for the real lego scene
+    root = str(tmp_path_factory.mktemp("rich") / "lego")
+    return make_blender_scene_rich(root, img_wh=(100, 100))
+
+
+def test_rich_blender_scene_multiview_consistent(rich_blender_root):
+    """Warping the reference view into nearby mytest poses must agree with
+    the tracer's own render of those poses on warp-valid pixels — the
+    property that makes the lego-recipe soak's novel-view val PSNR
+    meaningful."""
+    import jax.numpy as jnp
+
+    from sinnerf_tpu.data import poses as P
+    from sinnerf_tpu.data.base import load_image
+    from sinnerf_tpu.data.blender import BlenderRot3D
+    from sinnerf_tpu.ops.warp import forward_warp
+
+    ds = BlenderRot3D(
+        rich_blender_root, split="train", img_wh=(100, 100),
+        patch_size=32, sW=2, sH=2,
+    )
+    assert ds.ref_idx == 20  # the REF_IDX table entry for lego
+    ref_img = np.asarray(ds.scene["ref_image"])
+    ref_depth = np.asarray(ds.scene["ref_depth"])
+    ref_p = P.projection_matrix(
+        ds.k3, P.convert_c2w_to_w2c_cv(np.asarray(ds.ref_c2w))
+    )
+
+    import json as _json
+
+    with open(f"{rich_blender_root}/transforms_mytest.json") as f:
+        meta = _json.load(f)
+    # thresholds: the blender warp is last-write nearest-splat (no z-buffer,
+    # blender_rot3d.py:148-149), so warps of the textured spheres carry
+    # intrinsic resampling noise (15.3-19.5 dB measured on CPU).  mytest 30
+    # coincides exactly with the ref pose and is deliberately skipped: the
+    # identity projection lands on pixel centers where floor() is knife-edge
+    # and backend-dependent (CPU vs TPU differ by 6 dB there)
+    for i, floor in ((26, 14.0), (29, 15.0), (31, 15.0), (34, 14.0)):
+        frame = meta["frames"][i]
+        c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+        src_p = P.projection_matrix(ds.k3, P.convert_c2w_to_w2c_cv(c2w))
+        warped, wd = forward_warp(
+            jnp.asarray(ref_img), jnp.asarray(ref_depth),
+            jnp.asarray(ref_p), jnp.asarray(src_p), zbuffer=False,
+        )
+        true = load_image(
+            f"{rich_blender_root}/{frame['file_path']}.png",
+            (100, 100), blend_alpha_to_white=True,
+        )
+        valid = np.asarray(wd) > 0
+        assert valid.mean() > 0.15, f"mytest {i}: warp coverage too low"
+        err = ((np.asarray(warped) - true) ** 2)[valid].mean()
+        psnr = -10 * np.log10(err)
+        assert psnr > floor, f"mytest {i}: warp vs true render {psnr:.1f} dB"
+    hits = ref_depth[ref_depth > 0]
+    assert hits.min() > 2.0 and hits.max() < 6.0  # inside blender NEAR/FAR
+
+
+def test_rich_blender_val_split_is_true_novel_views(rich_blender_root):
+    """The mytest val frames are real renders of each pose (not copies of
+    the ref image), so val PSNR measures novel-view quality."""
+    from sinnerf_tpu.data.blender import BlenderRot3D
+
+    ds = BlenderRot3D(rich_blender_root, split="val", img_wh=(100, 100))
+    assert ds.length == 40  # frames[30-20 : 30+20]
+    a = np.asarray(ds.val_rgbs[0])
+    b = np.asarray(ds.val_rgbs[-1])
+    assert float(np.abs(a - b).mean()) > 0.01  # genuinely different views
