@@ -631,3 +631,26 @@ def test_rich_blender_val_split_is_true_novel_views(rich_blender_root):
     a = np.asarray(ds.val_rgbs[0])
     b = np.asarray(ds.val_rgbs[-1])
     assert float(np.abs(a - b).mean()) > 0.01  # genuinely different views
+
+
+@pytest.mark.parametrize(
+    "psx,psy,sr,sc,h,w",
+    [(64, 64, 6, 6, 400, 400), (63, 84, 4, 4, 378, 504), (5, 3, 2, 7, 40, 48),
+     (1, 1, 1, 1, 8, 8), (7, 1, 3, 2, 30, 20)],
+)
+def test_strided_sum_map_matches_brute_force(psx, psy, sr, sc, h, w):
+    """The O(log) doubling accumulation equals the direct per-origin patch
+    sum (within f32) at recipe and degenerate shapes."""
+    import jax.numpy as jnp
+
+    from sinnerf_tpu.data.sampler import SamplerConfig, _strided_sum_map
+
+    cfg = SamplerConfig(height=h, width=w, psx=psx, psy=psy, s_row=sr, s_col=sc)
+    rng = np.random.default_rng(1)
+    x = rng.random((h, w)).astype(np.float32)
+    got = np.asarray(_strided_sum_map(jnp.asarray(x), cfg))
+    want = np.zeros((cfg.row_limit, cfg.col_limit), np.float64)
+    for i in range(psx):
+        for j in range(psy):
+            want += x[i * sr : i * sr + cfg.row_limit, j * sc : j * sc + cfg.col_limit]
+    np.testing.assert_allclose(got, want, rtol=2e-6)
