@@ -654,3 +654,16 @@ def test_strided_sum_map_matches_brute_force(psx, psy, sr, sc, h, w):
         for j in range(psy):
             want += x[i * sr : i * sr + cfg.row_limit, j * sc : j * sc + cfg.col_limit]
     np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_blender_val_angle64_negative_slice_quirk(rich_blender_root):
+    """eval.py's default --angle 64 makes the mytest val slice
+    frames[30-64 : 30+64] == frames[-34:94], which Python resolves to the
+    LAST 34 frames — the reference's exact (quirky) behavior
+    (blender_rot3d.py:169-197 with eval.py:59's default)."""
+    from sinnerf_tpu.data.blender import BlenderRot3D
+
+    ds = BlenderRot3D(
+        rich_blender_root, split="val", img_wh=(100, 100), angle=64
+    )
+    assert ds.length == 34
