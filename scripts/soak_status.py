@@ -34,14 +34,22 @@ def main():
         files = sorted(glob.glob(os.path.join(exp, "**/events*"), recursive=True))
         if not files:
             continue
-        ea = EventAccumulator(files[-1])
-        ea.Reload()
-        tags = ea.Tags()["scalars"]
+        # soak.sh retries train legs on tunnel flakes, and every restart opens
+        # a NEW event file in the same dir — accumulate across ALL of them so
+        # pre-resume history (and the true best) isn't dropped.
+        scalars, n_tags = [], 0
+        for f in files:
+            ea = EventAccumulator(f)
+            ea.Reload()
+            tags = ea.Tags()["scalars"]
+            n_tags = max(n_tags, len(tags))
+            if "val/psnr" in tags:
+                scalars.extend(ea.Scalars("val/psnr"))
         name = os.path.basename(exp)
-        if "val/psnr" not in tags:
-            print(f"{name}: no val/psnr yet ({len(tags)} tags)")
+        if not scalars:
+            print(f"{name}: no val/psnr yet ({n_tags} tags)")
             continue
-        scalars = ea.Scalars("val/psnr")
+        scalars.sort(key=lambda e: e.step)
         recent = ", ".join(
             f"ep{e.step}={e.value:.2f}" for e in scalars[-args.last :]
         )

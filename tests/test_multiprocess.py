@@ -23,17 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_train_step(tmp_path):
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo_root, "tests", "multiprocess_worker.py")
-    port = _free_port()
-
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    # the worker forces CPU via jax.config before backend init; drop any
-    # inherited platform hints so nothing initializes the axon TPU plugin
-    env.pop("JAX_PLATFORMS", None)
-
+def _run_workers(worker, port, tmp_path, repo_root, env):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
@@ -51,6 +41,34 @@ def test_two_process_mesh_train_step(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_mesh_train_step(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo_root, "tests", "multiprocess_worker.py")
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # the worker forces CPU via jax.config before backend init; drop any
+    # inherited platform hints so nothing initializes the axon TPU plugin
+    env.pop("JAX_PLATFORMS", None)
+
+    # _free_port closes its probe socket before the coordinator binds the
+    # port (jax.distributed in worker 0, seconds later) — a TOCTOU window on
+    # shared machines.  Retry with a fresh port if the bind itself lost the
+    # race; any other failure is a real test failure.
+    for attempt in range(3):
+        port = _free_port()
+        procs, outs = _run_workers(worker, port, tmp_path, repo_root, env)
+        bind_lost = any(
+            p.returncode != 0
+            and ("address already in use" in out.lower()
+                 or "failed to bind" in out.lower())
+            for p, out in zip(procs, outs)
+        )
+        if not bind_lost:
+            break
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
