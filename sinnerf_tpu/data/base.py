@@ -93,8 +93,9 @@ class SingleImageDataset:
     # validation API -------------------------------------------------------
     # datasets whose val views come from real source images set val_fnames
     # so eval.py can name renders after them (reference eval.py:163-166;
-    # only the classic LLFF loader's test_train split emits fname there,
-    # datasets/llff.py:391-392)
+    # emitted there by the classic LLFF loader's test_train split,
+    # datasets/llff.py:391-392, and by the blender datasets for any split
+    # ending in 'train', blender_rot3d.py:568-569 / blender_proj.py:536-537)
     val_fnames = None
 
     def val_len(self) -> int:

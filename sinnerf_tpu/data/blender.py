@@ -218,7 +218,14 @@ class BlenderRot3D(SingleImageDataset):
 
     # -------------------------------------------------------------------- val
     def _build_val(self, train_meta):
-        if self.my_test:
+        if self.split in ("test_train", "test_train2"):
+            # render every source frame of transforms_train.json
+            # (blender_rot3d.py:180-181: test_train* reads the train json) and
+            # name outputs after the frames (':568-569: fname emitted when the
+            # split endswith 'train') so files compare 1:1 with the reference
+            frames = train_meta["frames"]
+            self.val_fnames = [f["file_path"] for f in frames]
+        elif self.my_test:
             meta = self._load_meta("mytest")
             frames = meta["frames"][30 - self.angle : 30 + self.angle]
         else:

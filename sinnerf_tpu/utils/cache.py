@@ -20,6 +20,19 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     import jax
 
     if cache_dir is None:
+        # SINNERF_JAX_CACHE_DIR reroutes ("off" disables) every entry point's
+        # cache in one place.  tests/conftest.py sets "off": the cache exists
+        # for the axon tunnel's minutes-long remote compiles, and on CPU it is
+        # actively dangerous — reading back a persisted CPU executable can
+        # kill the interpreter inside compilation_cache.get_executable_and_time
+        # (backend.deserialize_executable aborts; observed twice, as SIGSEGV
+        # and SIGABRT, both at tests/test_train.py resume tests once a
+        # contended >1s CPU compile got cached and re-read).  CPU compiles are
+        # fast; caching them buys nothing.
+        cache_dir = os.environ.get("SINNERF_JAX_CACHE_DIR")
+        if cache_dir is not None and cache_dir.lower() in ("", "0", "off", "none"):
+            return ""
+    if cache_dir is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         cache_dir = os.path.join(repo_root, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)

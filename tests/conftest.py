@@ -5,6 +5,13 @@ strategy).  Must run before jax is imported anywhere."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the persistent compilation cache for the whole suite (in-process
+# CLI tests and CLI subprocesses, which inherit the env): it exists for the
+# TPU tunnel's slow remote compiles, and on CPU a cached executable read back
+# via backend.deserialize_executable can abort the interpreter — plus sharing
+# .jax_cache with a concurrently running TPU job is a read/write race.  See
+# utils/cache.py.
+os.environ.setdefault("SINNERF_JAX_CACHE_DIR", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

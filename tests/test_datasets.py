@@ -116,6 +116,31 @@ def test_blender_val(blender_root):
     assert item["rgbs"].shape == (64 * 64, 3)
 
 
+def test_blender_test_train_split_renders_all_train_frames(blender_root):
+    """test_train/test_train2 read transforms_train.json and render every
+    frame, emitting fname per frame so eval.py names files like the reference
+    (blender_rot3d.py:180-181, :568-569)."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(blender_root, "transforms_train.json")))
+    for split in ("test_train", "test_train2"):
+        ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+            blender_root, split=split, img_wh=(64, 64), ref_idx=0, angle=20,
+        )
+        assert ds.val_len() == len(meta["frames"])
+        for i, frame in enumerate(meta["frames"]):
+            item = ds.val_item(i)
+            assert item["fname"] == frame["file_path"]
+            assert item["rays"].shape == (64 * 64, 8)
+            assert item["rgbs"].shape == (64 * 64, 3)
+    # plain val emits no fname (reference: only split.endswith('train') does)
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="val", img_wh=(64, 64), ref_idx=0, angle=20,
+    )
+    assert "fname" not in ds.val_item(0)
+
+
 def test_blender_proj_train(blender_root):
     ds = dataset_dict["blender_ray_patch_1image_proj"](
         blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
