@@ -234,3 +234,20 @@ def test_scripts_imports_resolve():
                 )
                 checked += 1
     assert checked > 20  # the guard itself must be exercising something
+
+
+def test_persistent_cache_disabled_under_tests():
+    """conftest sets SINNERF_JAX_CACHE_DIR=off and enable_persistent_cache
+    honors it: the persistent compile cache exists for the axon tunnel's
+    remote compiles, and on CPU a cached executable read back through
+    backend.deserialize_executable can abort the interpreter (see
+    utils/cache.py) — the suite must never turn it on."""
+    import os
+
+    import jax
+
+    from sinnerf_tpu.utils.cache import enable_persistent_cache
+
+    assert os.environ.get("SINNERF_JAX_CACHE_DIR") == "off"
+    assert enable_persistent_cache() == ""
+    assert jax.config.jax_compilation_cache_dir is None
