@@ -218,12 +218,38 @@ class BlenderRot3D(SingleImageDataset):
 
     # -------------------------------------------------------------------- val
     def _build_val(self, train_meta):
-        if self.split in ("test_train", "test_train2"):
+        if self.split == "test_train2":
+            # 30 rot-z poses around the reference pose (blender_rot3d.py:
+            # 414-420; consumed via poses_test at :537-538).  The reference's
+            # __getitem__ crashes on the unbound `frame` for this split, so
+            # the GT image is intent reconstruction: the ref frame's image
+            # (what the val branch would bind at :532-534).  No fname —
+            # 'test_train2'.endswith('train') is False (:568-569).
+            frame = train_meta["frames"][self.ref_idx]
+            ref_c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+            img = load_image(
+                os.path.join(self.root_dir, frame["file_path"] + ".png"),
+                self.img_wh,
+                blend_alpha_to_white=True,
+            )
+            self.val_rays, self.val_rgbs = [], []
+            for c2w in pose_np.rot_z_linspace(ref_c2w, self.angle, n=30):
+                self.val_rays.append(
+                    pack_rays_np(self.directions, c2w, NEAR, FAR)
+                )
+                self.val_rgbs.append(img.reshape(-1, 3))
+            self.length = 30
+            return
+        if self.split == "test_train":
             # render every source frame of transforms_train.json
-            # (blender_rot3d.py:180-181: test_train* reads the train json) and
+            # (blender_rot3d.py:180-181: test_train reads the train json) and
             # name outputs after the frames (':568-569: fname emitted when the
-            # split endswith 'train') so files compare 1:1 with the reference
-            frames = train_meta["frames"]
+            # split endswith 'train') so files compare 1:1 with the reference.
+            # Reload the train json explicitly: with depth_type='gt' the
+            # `train_meta` argument was rebound to transforms_mytest.json in
+            # __init__, but the reference reads the train json for this split
+            # unconditionally.
+            frames = self._load_meta("train")["frames"]
             self.val_fnames = [f["file_path"] for f in frames]
         elif self.my_test:
             meta = self._load_meta("mytest")

@@ -6,7 +6,7 @@ world scale 1/200, pseudo views from ``Cameras/pair.txt`` src list, z-buffered
 numpy painter warp with full K@E projection matrices.
 
 Deviation: the reference dumps debug images into ``vis/`` at load time
-(``dtu_proj.py:524-528``) — we don't (pass ``debug_dir`` to opt in).
+(``dtu_proj.py:524-528``) — we don't.
 """
 
 from __future__ import annotations

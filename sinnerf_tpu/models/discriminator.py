@@ -144,6 +144,64 @@ def import_torch_discriminator_state(
     return params, sn_state
 
 
+def _torch_main_slots(imsize: int, ndf: int = 64):
+    """nn.Sequential slot index of each spectral-norm conv in the reference's
+    ``main`` stack (discriminator.py:87-156): every conv is followed by
+    InstanceNorm (when normed) + LeakyReLU, except the final conv which ends
+    the stack."""
+    spec = _conv_spec(imsize, ndf)
+    slots, slot = [], 0
+    for i, (_, _, norm) in enumerate(spec):
+        slots.append(slot)
+        slot += 1 + (1 if norm else 0)
+        if i != len(spec) - 1:
+            slot += 1  # LeakyReLU
+    return slots
+
+
+def export_torch_discriminator_state(
+    params: Params,
+    sn_state: Params,
+    imsize: int = 64,
+    ndf: int = 64,
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Inverse of :func:`import_torch_discriminator_state`: emit the torch
+    ``spectral_norm`` state-dict layout ``{prefix}main.<slot>.weight_orig /
+    weight_u / weight_v`` (numpy values, OIHW).
+
+    ``weight_v`` is not tracked on our side (the power iteration recomputes
+    it from ``(W, u)`` each forward); reconstruct it exactly as torch's
+    ``SpectralNorm.compute_weight`` would on the next step:
+    ``v = normalize(W_mat^T u, eps=1e-12)``.
+    """
+    import numpy as np
+
+    out: Dict[str, Any] = {}
+
+    def emit(group: str, slots, convs, us):
+        if len(convs) != len(slots):
+            raise ValueError(
+                f"{group}: {len(convs)} convs but {len(slots)} torch slots "
+                f"for imsize={imsize} — wrong imsize?"
+            )
+        for slot, conv, ust in zip(slots, convs, us):
+            w = np.asarray(conv["w"], np.float32)
+            u = np.asarray(ust["u"], np.float32)
+            v = w.reshape(w.shape[0], -1).T @ u
+            v = v / max(float(np.linalg.norm(v)), 1e-12)
+            out[f"{prefix}{group}.{slot}.weight_orig"] = w
+            out[f"{prefix}{group}.{slot}.weight_u"] = u
+            out[f"{prefix}{group}.{slot}.weight_v"] = v.astype(np.float32)
+
+    emit("main", _torch_main_slots(imsize, ndf), params["convs"], sn_state["convs"])
+    if "head" in params:
+        # conditional head (discriminator.py:74-81): LReLU, SN, LReLU, SN,
+        # LReLU, SN -> convs at slots 1/3/5
+        emit("final", (1, 3, 5), params["head"], sn_state["head"])
+    return out
+
+
 def _spectral_norm(
     w: jnp.ndarray, u: jnp.ndarray, update: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

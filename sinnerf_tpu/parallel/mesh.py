@@ -75,3 +75,40 @@ def shard_rays(rays: Any, mesh: Mesh, axis: str = "data") -> Any:
     if pad:
         rays = jnp.pad(rays, ((0, pad), (0, 0)), constant_values=1.0)
     return jax.device_put(rays, NamedSharding(mesh, P(axis, None))), n
+
+
+def maybe_initialize_distributed() -> bool:
+    """Env-gated multi-process initialization for the CLIs.
+
+    The reference reaches its multi-GPU topology through
+    ``Trainer(distributed_backend='ddp')`` (train.py:51-52); the equivalent
+    here is one ``jax.distributed`` process per host.  ``train.py`` calls
+    this before any backend initializes; it is a no-op unless
+    ``SINNERF_COORDINATOR`` is set:
+
+    * ``SINNERF_COORDINATOR``  — coordinator address, e.g. ``host0:9876``
+    * ``SINNERF_NUM_PROCESSES`` — total process count
+    * ``SINNERF_PROCESS_ID``    — this process's rank
+    * ``SINNERF_PLATFORM``      — optional platform override (e.g. ``cpu``
+      for the two-process smoke test: the axon TPU plugin ignores the
+      ``JAX_PLATFORMS`` env var, so CPU topologies must force the platform
+      via ``jax.config`` before ``jax.distributed`` brings up a backend)
+
+    Rank 0 of the trainer owns tensorboard + checkpoints; per-batch image
+    grids are skipped in multi-process runs (their payloads are shards of
+    globally-sharded arrays).  Returns True when distributed mode came up.
+    """
+    import os
+
+    coord = os.environ.get("SINNERF_COORDINATOR")
+    if not coord:
+        return False
+    platform = os.environ.get("SINNERF_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.distributed.initialize(
+        coord,
+        num_processes=int(os.environ["SINNERF_NUM_PROCESSES"]),
+        process_id=int(os.environ["SINNERF_PROCESS_ID"]),
+    )
+    return True

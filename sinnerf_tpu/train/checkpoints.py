@@ -211,3 +211,56 @@ def load_torch_nerf_checkpoint(
             except KeyError:
                 pass
     return out
+
+
+def export_torch_checkpoint(
+    ckpt_path: str, out_path: str, imsize: int = None
+) -> str:
+    """Write one of this framework's orbax checkpoints as a reference-
+    consumable PyTorch ``.ckpt``.
+
+    Reverse interop for ``load_ckpt``/``extract_model_state_dict``
+    (reference utils/__init__.py:60-83) and ``eval.py:131-145``: the blob is
+    ``{'state_dict': {'nerf_coarse.*', 'nerf_fine.*'}}`` (+ ``'D.*'``
+    spectral-norm keys when the checkpoint carries a discriminator), so the
+    reference ecosystem can evaluate / warm-start from checkpoints trained
+    here.  ``imsize`` selects the discriminator's nn.Sequential slot
+    numbering; defaults to the checkpoint's saved ``hparams['patch_size']``
+    (the trainer builds D with imsize=patch_size, sinnerf.py:143-145).
+    """
+    import torch
+
+    from sinnerf_tpu.models.discriminator import (
+        export_torch_discriminator_state,
+    )
+    from sinnerf_tpu.models.nerf import export_torch_state
+
+    tree = load_checkpoint(ckpt_path)
+    state = tree.get("state", tree)
+    params = state["params"]
+    sd: Dict[str, Any] = {}
+    for name, prefix in (("coarse", "nerf_coarse."), ("fine", "nerf_fine.")):
+        if name in params:
+            sd.update(export_torch_state(params[name], model_prefix=prefix))
+    if not sd:
+        raise KeyError(f"no NeRF params found in {ckpt_path}")
+    if state.get("d_params") is not None and state.get("sn_state") is not None:
+        if imsize is None:
+            imsize = int(
+                tree.get("hparams", {}).get("patch_size", 64) or 64
+            )
+        sd.update(
+            export_torch_discriminator_state(
+                state["d_params"], state["sn_state"], imsize=imsize,
+                prefix="D.",
+            )
+        )
+    blob = {
+        "state_dict": {
+            k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+        },
+        "epoch": int(tree.get("epoch", 0)) if isinstance(tree, dict) else 0,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    torch.save(blob, out_path)
+    return out_path

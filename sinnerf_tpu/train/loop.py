@@ -218,6 +218,12 @@ class SinNeRFTrainer:
             self.state = replicate(self.state, self.mesh)
 
         # ---- logging / checkpoints ---------------------------------------
+        # multi-process CLI (SINNERF_COORDINATOR env, parallel/mesh.py):
+        # rank 0 owns tensorboard + checkpoints (Lightning-DDP semantics);
+        # per-batch image grids are single-process only (they are shards of
+        # globally-sharded arrays, not addressable from one process)
+        self._proc0 = jax.process_index() == 0
+        self._single_proc = jax.process_count() == 1
         self.ckpt_manager = TopKCheckpointManager(
             os.path.join(hparams.ckpt_dir, hparams.exp_name),
             top_k=2,
@@ -227,6 +233,8 @@ class SinNeRFTrainer:
 
     # ------------------------------------------------------------------ io
     def _make_writer(self):
+        if not self._proc0:
+            return None
         try:
             from tensorboardX import SummaryWriter
 
@@ -334,6 +342,8 @@ class SinNeRFTrainer:
         self._restored_ckpt_best = tree.get("ckpt_best", None)
 
     def _save(self, epoch: int, val_psnr: float) -> None:
+        if not self._proc0:
+            return
         tree = {
             "state": dict(self.state._asdict()),
             "epoch": epoch,
@@ -438,6 +448,11 @@ class SinNeRFTrainer:
             host_step += 1
             step = host_step
             if step % 10 == 0 and self.writer:
+                if not self._single_proc:
+                    # image payloads are shards of globally-sharded batch
+                    # arrays — not addressable from one process; log the
+                    # (replicated) scalars only
+                    out = {"metrics": out["metrics"], "images": None}
                 # deferred logging: a blocking device_get here stalls the
                 # dispatch pipeline a full ~30ms tunnel RTT every 10 steps
                 # (~3ms/step amortized).  Instead start an async host copy
@@ -464,7 +479,8 @@ class SinNeRFTrainer:
         self._pending_log = None
         host_out = jax.device_get(out)
         self._log_scalars(host_out["metrics"], step, lr)
-        self._log_images(host_out["images"], step)
+        if host_out.get("images") is not None:
+            self._log_images(host_out["images"], step)
 
     def _log_scalars(self, metrics: Dict[str, Any], step: int, lr: float):
         if not self.writer:
@@ -532,7 +548,10 @@ class SinNeRFTrainer:
                 psnrs.append(
                     psnr_metric(results["rgb_fine"], jnp.asarray(item["rgbs"]))
                 )
-            if log and self.writer and i % 5 == 0 and "rgbs" in item:
+            if (
+                log and self.writer and self._single_proc
+                and i % 5 == 0 and "rgbs" in item
+            ):
                 img = np.asarray(results["rgb_fine"]).reshape(h, w, 3)
                 gt = np.asarray(item["rgbs"]).reshape(h, w, 3)
                 depth = visualize_depth(

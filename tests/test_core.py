@@ -207,6 +207,32 @@ def test_get_rays_match_reference():
     np.testing.assert_allclose(np.asarray(d), d_t.numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_get_ndc_rays_match_reference():
+    """Golden vs ``datasets/ray_utils.py:123-164`` on random camera-frame
+    rays (dead in the reference — ndc=False everywhere — but exported here,
+    so it must be pinned)."""
+    ray_utils_ref = import_reference_module("datasets.ray_utils")
+    import torch
+
+    from sinnerf_tpu.core.rays import get_ndc_rays
+
+    rng = np.random.default_rng(7)
+    h, w, focal, near = 12, 16, 20.0, 1.0
+    rays_o = rng.normal(size=(40, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(40, 3)).astype(np.float32)
+    # keep rays looking forward (-z) so the near-plane shift is well-posed
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.1
+    rays_o[:, 2] = -np.abs(rays_o[:, 2]) - 2.0
+    o_t, d_t = ray_utils_ref.get_ndc_rays(
+        h, w, focal, near, torch.from_numpy(rays_o), torch.from_numpy(rays_d)
+    )
+    o, d = get_ndc_rays(
+        h, w, focal, near, jnp.asarray(rays_o), jnp.asarray(rays_d)
+    )
+    np.testing.assert_allclose(np.asarray(o), o_t.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), d_t.numpy(), rtol=1e-5, atol=1e-5)
+
+
 def test_ray_bundle_layout():
     dirs = get_ray_directions(4, 4, 5.0)
     bundle = np.asarray(make_ray_bundle(dirs, jnp.eye(3, 4), 2.0, 6.0))

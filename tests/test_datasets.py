@@ -117,28 +117,76 @@ def test_blender_val(blender_root):
 
 
 def test_blender_test_train_split_renders_all_train_frames(blender_root):
-    """test_train/test_train2 read transforms_train.json and render every
-    frame, emitting fname per frame so eval.py names files like the reference
+    """test_train reads transforms_train.json and renders every frame,
+    emitting fname per frame so eval.py names files like the reference
     (blender_rot3d.py:180-181, :568-569)."""
     import json
     import os
 
     meta = json.load(open(os.path.join(blender_root, "transforms_train.json")))
-    for split in ("test_train", "test_train2"):
-        ds = dataset_dict["blender_ray_patch_1image_rot3d"](
-            blender_root, split=split, img_wh=(64, 64), ref_idx=0, angle=20,
-        )
-        assert ds.val_len() == len(meta["frames"])
-        for i, frame in enumerate(meta["frames"]):
-            item = ds.val_item(i)
-            assert item["fname"] == frame["file_path"]
-            assert item["rays"].shape == (64 * 64, 8)
-            assert item["rgbs"].shape == (64 * 64, 3)
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="test_train", img_wh=(64, 64), ref_idx=0, angle=20,
+    )
+    assert ds.val_len() == len(meta["frames"])
+    for i, frame in enumerate(meta["frames"]):
+        item = ds.val_item(i)
+        assert item["fname"] == frame["file_path"]
+        assert item["rays"].shape == (64 * 64, 8)
+        assert item["rgbs"].shape == (64 * 64, 3)
     # plain val emits no fname (reference: only split.endswith('train') does)
     ds = dataset_dict["blender_ray_patch_1image_rot3d"](
         blender_root, split="val", img_wh=(64, 64), ref_idx=0, angle=20,
     )
     assert "fname" not in ds.val_item(0)
+
+
+def test_blender_test_train2_is_rot_z_orbit(blender_root):
+    """test_train2 renders 30 rot-z poses around the ref pose
+    (blender_rot3d.py:414-420, poses consumed at :537-538), GT = the ref
+    frame's image (intent reconstruction: the reference getitem crashes on an
+    unbound `frame` for this split), and emits no fname
+    ('test_train2'.endswith('train') is False, :568-569)."""
+    import json
+    import os
+
+    from sinnerf_tpu.data import poses as pose_np
+    from sinnerf_tpu.data.base import pack_rays_np
+    from sinnerf_tpu.data.blender import NEAR, FAR
+
+    meta = json.load(open(os.path.join(blender_root, "transforms_train.json")))
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="test_train2", img_wh=(64, 64), ref_idx=0,
+        angle=20,
+    )
+    assert ds.val_len() == 30
+    ref_c2w = np.array(meta["frames"][0]["transform_matrix"], np.float64)
+    expect = pose_np.rot_z_linspace(ref_c2w, 20, n=30)
+    for i in (0, 14, 29):
+        item = ds.val_item(i)
+        assert "fname" not in item
+        want = pack_rays_np(np.asarray(ds.directions), expect[i], NEAR, FAR)
+        np.testing.assert_allclose(item["rays"], want, atol=1e-5)
+    # all 30 GT images are the reference frame's image
+    np.testing.assert_array_equal(
+        ds.val_item(0)["rgbs"], ds.val_item(29)["rgbs"]
+    )
+
+
+def test_blender_test_train_with_gt_depth_renders_train_frames(blender_root):
+    """depth_type='gt' rebinds the working meta to transforms_mytest.json in
+    __init__ (blender_rot3d.py:242-252), but the reference reads the train
+    json for test_train unconditionally (:180-181) — the split must render
+    and name the TRAIN frames, not the mytest frames."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(blender_root, "transforms_train.json")))
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="test_train", img_wh=(64, 64), ref_idx=0,
+        angle=20, depth_type="gt",
+    )
+    assert ds.val_len() == len(meta["frames"])
+    assert ds.val_fnames == [f["file_path"] for f in meta["frames"]]
 
 
 def test_blender_proj_train(blender_root):

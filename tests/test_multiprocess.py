@@ -89,3 +89,79 @@ def test_two_process_mesh_train_step(tmp_path):
     assert ck0 == pytest.approx(ck1, rel=1e-7), (
         f"replicated params diverged across processes: {ck0} vs {ck1}"
     )
+
+
+def test_two_process_cli_train(tmp_path):
+    """The REAL CLI path: two `python train.py` processes joined via the
+    env-gated jax.distributed.initialize in train.py (SINNERF_COORDINATOR /
+    SINNERF_NUM_PROCESSES / SINNERF_PROCESS_ID / SINNERF_PLATFORM=cpu —
+    parallel/mesh.py:maybe_initialize_distributed).  Rank 0 owns the shared
+    ckpt/log dirs; both ranks must finish a 1-epoch run with the same
+    best val/psnr."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sinnerf_tpu.data.synthetic import make_blender_scene
+
+    scene = make_blender_scene(str(tmp_path / "scene"), (64, 64))
+    args = [
+        sys.executable, "train.py",
+        "--dataset_name", "blender_ray_patch_1image_rot3d",
+        "--root_dir", scene, "--img_wh", "64", "64",
+        "--N_samples", "4", "--N_importance", "4",
+        "--num_epochs", "1", "--batch_size", "8", "--num_gpus", "8",
+        "--exp_name", "mpcli", "--with_ref", "--patch_size", "16",
+        "--sW", "2", "--sH", "2", "--load_depth", "--model", "sinnerf",
+        "--depth_weight", "8", "--num_rays", "32", "--ref_idx", "0",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+        "--mlp_impl", "xla", "--compute_dtype", "float32",
+        "--check_val_every_n_epoch", "1",
+    ]
+
+    base_env = dict(os.environ)
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    base_env.pop("JAX_PLATFORMS", None)
+    base_env["SINNERF_PLATFORM"] = "cpu"
+    base_env["SINNERF_NUM_PROCESSES"] = "2"
+
+    for attempt in range(3):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(base_env)
+            env["SINNERF_COORDINATOR"] = f"localhost:{port}"
+            env["SINNERF_PROCESS_ID"] = str(pid)
+            procs.append(subprocess.Popen(
+                args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=repo_root,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=840)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        bind_lost = any(
+            p.returncode != 0
+            and ("address already in use" in out.lower()
+                 or "failed to bind" in out.lower())
+            for p, out in zip(procs, outs)
+        )
+        if not bind_lost:
+            break
+
+    best = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"CLI worker {pid} failed:\n{out[-4000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("best val/psnr:")]
+        assert lines, f"no best-psnr line from CLI worker {pid}:\n{out[-2000:]}"
+        best.append(float(lines[-1].split(":")[1]))
+    assert best[0] == pytest.approx(best[1], rel=1e-6)
+    # rank-0-only checkpointing into the SHARED dir: 'last' + the epoch dir
+    ckdir = tmp_path / "ck" / "mpcli"
+    assert (ckdir / "last").is_dir()

@@ -13,8 +13,12 @@ Example (reference README.md:44-52, works unchanged):
 """
 
 from opt import get_opts
+from sinnerf_tpu.parallel.mesh import maybe_initialize_distributed
 from sinnerf_tpu.utils.cache import enable_persistent_cache
 
+# multi-process topology (one process per host): env-gated, before any
+# backend initializes — see maybe_initialize_distributed for the contract
+maybe_initialize_distributed()
 enable_persistent_cache()
 
 from sinnerf_tpu.train import SinNeRFTrainer
