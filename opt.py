@@ -110,6 +110,10 @@ _FLAG_SPEC = [
     ("ref_idx", dict(type=int, default=None,
                      help="reference frame index override (blender scenes "
                           "outside the built-in table need this)")),
+    ("prefetch_batches", dict(type=int, default=8,
+                              help="sampler steps batched into one device "
+                                   "dispatch (1 disables; batches are "
+                                   "bit-identical either way)")),
     ("profile", dict(flag=True,
                      help="capture a jax.profiler trace of the fit into "
                           "log_dir (reference enables a profiler on "

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sinnerf_tpu.data.sampler import SamplerConfig, sample_batch
+from sinnerf_tpu.data.sampler import (
+    SamplerConfig,
+    sample_batch,
+    sample_batches_prefetch,
+)
 from sinnerf_tpu.ops.warp import forward_warp
 
 
@@ -88,6 +92,18 @@ class SingleImageDataset:
     def sample(self, key: jax.Array, step: int, batch_size: int = 1):
         return sample_batch(
             self.scene, key, jnp.asarray(step, jnp.int32), self.cfg, batch_size
+        )
+
+    def sample_many(self, keys: jax.Array, steps, batch_size: int = 1):
+        """K per-step batches in one dispatch; leaves lead with (K, B, ...).
+        Slice [j] equals ``sample(keys[j], steps[j])`` (bit-identical draws;
+        <=1-ulp rounding on the fresh-warp depth, see sampler.py)."""
+        return sample_batches_prefetch(
+            self.scene,
+            keys,
+            jnp.asarray(steps, jnp.int32),
+            self.cfg,
+            batch_size,
         )
 
     # validation API -------------------------------------------------------

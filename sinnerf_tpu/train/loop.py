@@ -407,6 +407,50 @@ class SinNeRFTrainer:
                 self._save(epoch, val_psnr)
         return best_psnr
 
+    def _epoch_batches(self, epoch: int, spe: int):
+        """Yield ``(i, batch, k_step)`` for the epoch's spe steps.
+
+        With ``--prefetch_batches K > 1`` (default 8), K steps' sampling is
+        dispatched as ONE device call (``sample_batches_prefetch``) and the
+        per-step batch is a cheap leading-axis slice — the sampler's ~5.8 ms
+        of per-op fixed overhead amortizes K-fold (DESIGN.md §9).  The PRNG
+        chain advances exactly like the K=1 path (one 3-way split per step),
+        and prefetch groups never cross an epoch boundary, so checkpoint-
+        boundary key state and every per-step batch match the unprefetched
+        loop — bit-identically except <=1-ulp rounding on the fresh-warp
+        depth value (pinned by test_epoch_batches_prefetch_equivalent /
+        test_sampler_prefetch_bit_identical).  The tail group (spe % K)
+        compiles one extra sampler variant.
+        """
+        k_pref = max(1, int(getattr(self.hparams, "prefetch_batches", 1)))
+        i = 0
+        while i < spe:
+            k = min(k_pref, spe - i)
+            kb, ks = [], []
+            for _ in range(k):
+                self.key, k_batch, k_step = jax.random.split(self.key, 3)
+                kb.append(k_batch)
+                ks.append(k_step)
+            if k == 1:
+                batch = self.train_dataset.sample(
+                    kb[0],
+                    step=epoch * spe + i,
+                    batch_size=self.global_batch_size,
+                )
+                yield i, batch, ks[0]
+            else:
+                batches = self.train_dataset.sample_many(
+                    jnp.stack(kb),
+                    epoch * spe + i + np.arange(k),
+                    batch_size=self.global_batch_size,
+                )
+                for j in range(k):
+                    batch = jax.tree_util.tree_map(
+                        lambda x, j=j: x[j], batches
+                    )
+                    yield i + j, batch, ks[j]
+            i += k
+
     def _run_epoch(self, epoch: int, spe: int, host_step: int) -> int:
         """One training epoch: per-epoch LR assert, spe sampled steps,
         every-10-step deferred logging.  Returns the updated host step."""
@@ -425,13 +469,7 @@ class SinNeRFTrainer:
                 opt_d=set_lr(self.state.opt_d, hp.lr, rate=0.2)
             )
         t0 = time.time()
-        for i in range(spe):
-            self.key, k_batch, k_step = jax.random.split(self.key, 3)
-            batch = self.train_dataset.sample(
-                k_batch,
-                step=epoch * spe + i,
-                batch_size=self.global_batch_size,
-            )
+        for i, batch, k_step in self._epoch_batches(epoch, spe):
             if self.mesh is not None:
                 from sinnerf_tpu.parallel.mesh import shard_batch
 

@@ -740,3 +740,38 @@ def test_blender_val_angle64_negative_slice_quirk(rich_blender_root):
         rich_blender_root, split="val", img_wh=(100, 100), angle=64
     )
     assert ds.length == 34
+
+
+def test_sampler_prefetch_bit_identical(blender_root):
+    """sample_many (K steps in one vmapped dispatch, the --prefetch_batches
+    fast path) slices bit-identically to per-step sample() on the exact keys
+    the per-step chain would draw — on the fresh-warp rot3d family, whose
+    scatter/rejection path is the one being amortized."""
+    ds = dataset_dict["blender_ray_patch_1image_rot3d"](
+        blender_root, split="train", img_wh=(64, 64), patch_size=PSX,
+        sW=2, sH=2, num_rays=NUM_RAYS, with_ref=True, load_depth=True,
+        depth_type="nerf", ref_idx=0,
+    )
+    import jax.numpy as jnp
+
+    key = jax.random.key(42)
+    kb = []
+    for _ in range(3):
+        key, k_batch, _ = jax.random.split(key, 3)
+        kb.append(k_batch)
+    many = ds.sample_many(jnp.stack(kb), 7 + np.arange(3), batch_size=2)
+    for j in range(3):
+        single = ds.sample(kb[j], step=7 + j, batch_size=2)
+        for name in single:
+            if name == "warp_patch_depth":
+                # the K-batched compilation may reassociate the projection
+                # matmul chain by <=1 ulp; winners are ordinal-based (exact)
+                np.testing.assert_allclose(
+                    np.asarray(many[name][j]), np.asarray(single[name]),
+                    rtol=1e-6, atol=2e-6, err_msg=f"{name} step {j}",
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(many[name][j]), np.asarray(single[name]),
+                    err_msg=f"{name} step {j}",
+                )

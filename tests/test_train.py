@@ -919,3 +919,41 @@ def test_resume_falls_back_to_fresh_optimizer_state(
     )
     _run_steps(trainer2, 1)
     assert int(trainer2.state.step) == int(trainer.state.step) + 1
+
+
+def test_epoch_batches_prefetch_equivalent(blender_root, tmp_path):
+    """The --prefetch_batches fast path yields the same (i, batch, k_step)
+    stream and leaves trainer.key in the same state as the per-step path —
+    including a tail group (7 steps at K=3 -> groups of 3, 3, 1).
+
+    Every draw (ray picks, patch origins, warp winners) is bit-identical;
+    the one tolerance is warp_patch_depth, where the K-batched compilation
+    reassociates the fresh-warp projection matmul chain by <=1 ulp (the
+    winner ordinals themselves are depth-independent for rot3d's last-write
+    warp, so only the float depth value wiggles, never which pixel won)."""
+    hp1 = _hparams(blender_root, str(tmp_path), prefetch_batches=1)
+    hpK = _hparams(blender_root, str(tmp_path), prefetch_batches=3)
+    t1, tK = SinNeRFTrainer(hp1), SinNeRFTrainer(hpK)
+    t1.key = tK.key = jax.random.key(123)
+    s1 = list(t1._epoch_batches(epoch=2, spe=7))
+    sK = list(tK._epoch_batches(epoch=2, spe=7))
+    assert [i for i, _, _ in s1] == [i for i, _, _ in sK] == list(range(7))
+    for (_, b1, k1), (_, bK, kK) in zip(s1, sK):
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(k1)),
+            np.asarray(jax.random.key_data(kK)),
+        )
+        for name in b1:
+            if name == "warp_patch_depth":
+                np.testing.assert_allclose(
+                    np.asarray(b1[name]), np.asarray(bK[name]),
+                    rtol=1e-6, atol=2e-6, err_msg=name,
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(b1[name]), np.asarray(bK[name]), err_msg=name
+                )
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(t1.key)),
+        np.asarray(jax.random.key_data(tK.key)),
+    )
