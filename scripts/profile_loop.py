@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--img", type=int, default=400)
     ap.add_argument("--step2", action="store_true", help="enable GAN + ViT")
+    ap.add_argument("--prefetch", type=int, default=None,
+                    help="override --prefetch_batches (default: opt.py's)")
     args = ap.parse_args()
 
     from opt import make_default_hparams
@@ -51,6 +53,8 @@ def main():
         check_val_every_n_epoch=10**9, ckpt_dir=os.path.join(tmp, "ck"),
         log_dir=os.path.join(tmp, "lg"), num_rays=4096, ref_idx=0, **extra,
     )
+    if args.prefetch is not None:
+        hparams.prefetch_batches = args.prefetch
     trainer = SinNeRFTrainer(hparams)
     spe = trainer.steps_per_epoch()
     # warm epoch compiles everything; later epochs are the measurement.
