@@ -93,6 +93,12 @@ def maybe_initialize_distributed() -> bool:
       for the two-process smoke test: the axon TPU plugin ignores the
       ``JAX_PLATFORMS`` env var, so CPU topologies must force the platform
       via ``jax.config`` before ``jax.distributed`` brings up a backend)
+    * ``SINNERF_SHUTDOWN_TIMEOUT`` — optional shutdown-barrier timeout in
+      seconds (default jax's 300).  Ranks diverge at end-of-run: rank 0
+      still compiles + renders validation and writes checkpoints while
+      other ranks already wait at the coordination-service shutdown
+      barrier, so heavily contended hosts (the CPU test suite alongside a
+      TPU job) need more than 300 s — the two-process CLI smoke sets 1800.
 
     Rank 0 of the trainer owns tensorboard + checkpoints; per-batch image
     grids are skipped in multi-process runs (their payloads are shards of
@@ -110,5 +116,8 @@ def maybe_initialize_distributed() -> bool:
         coord,
         num_processes=int(os.environ["SINNERF_NUM_PROCESSES"]),
         process_id=int(os.environ["SINNERF_PROCESS_ID"]),
+        shutdown_timeout_seconds=int(
+            os.environ.get("SINNERF_SHUTDOWN_TIMEOUT", "300")
+        ),
     )
     return True

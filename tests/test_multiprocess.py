@@ -125,6 +125,13 @@ def test_two_process_cli_train(tmp_path):
     base_env.pop("JAX_PLATFORMS", None)
     base_env["SINNERF_PLATFORM"] = "cpu"
     base_env["SINNERF_NUM_PROCESSES"] = "2"
+    # End-of-run divergence: rank 0 compiles + renders validation and writes
+    # checkpoints while rank 1 already waits at the coordination-service
+    # shutdown barrier.  Under 3-way contention (this suite + a TPU soak's
+    # dispatch loop on one core) that tail exceeds jax's default 300 s
+    # barrier timeout (round-5 suite runs 1-2); raise it well past the
+    # subprocess timeout so the barrier never fires first.
+    base_env["SINNERF_SHUTDOWN_TIMEOUT"] = "2400"
 
     for attempt in range(3):
         port = _free_port()
