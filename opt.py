@@ -112,8 +112,10 @@ _FLAG_SPEC = [
                           "outside the built-in table need this)")),
     ("prefetch_batches", dict(type=int, default=8,
                               help="sampler steps batched into one device "
-                                   "dispatch (1 disables; batches are "
-                                   "bit-identical either way)")),
+                                   "dispatch (1 disables; same PRNG stream "
+                                   "either way — every draw/index bit-"
+                                   "identical, warp_patch_depth within 1 "
+                                   "ulp of the per-step path)")),
     ("profile", dict(flag=True,
                      help="capture a jax.profiler trace of the fit into "
                           "log_dir (reference enables a profiler on "

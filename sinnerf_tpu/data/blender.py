@@ -247,8 +247,12 @@ class BlenderRot3D(SingleImageDataset):
             # split endswith 'train') so files compare 1:1 with the reference.
             # Reload the train json explicitly: with depth_type='gt' the
             # `train_meta` argument was rebound to transforms_mytest.json in
-            # __init__, but the reference reads the train json for this split
-            # unconditionally.
+            # __init__.  Intent reconstruction (README deviations): the
+            # reference's gt block (blender_rot3d.py:242-252) rebinds
+            # self.meta to the mytest json for EVERY split, but its
+            # test_train getitem is unreachable either way (unbound `frame`
+            # crash), and "test_train" means "render the train frames" —
+            # so the gt rebind is treated as train-split-only here.
             frames = self._load_meta("train")["frames"]
             self.val_fnames = [f["file_path"] for f in frames]
         elif self.my_test:

@@ -98,7 +98,8 @@ def maybe_initialize_distributed() -> bool:
       still compiles + renders validation and writes checkpoints while
       other ranks already wait at the coordination-service shutdown
       barrier, so heavily contended hosts (the CPU test suite alongside a
-      TPU job) need more than 300 s — the two-process CLI smoke sets 1800.
+      TPU job) need more than 300 s — the two-process CLI smoke sets 2400
+      to match its subprocess timeout.
 
     Rank 0 of the trainer owns tensorboard + checkpoints; per-batch image
     grids are skipped in multi-process runs (their payloads are shards of
@@ -109,6 +110,16 @@ def maybe_initialize_distributed() -> bool:
     coord = os.environ.get("SINNERF_COORDINATOR")
     if not coord:
         return False
+    missing = [
+        v for v in ("SINNERF_NUM_PROCESSES", "SINNERF_PROCESS_ID")
+        if v not in os.environ
+    ]
+    if missing:
+        raise RuntimeError(
+            f"SINNERF_COORDINATOR={coord} is set but {', '.join(missing)} "
+            "is not — a multi-process launch needs all three of "
+            "SINNERF_COORDINATOR, SINNERF_NUM_PROCESSES, SINNERF_PROCESS_ID"
+        )
     platform = os.environ.get("SINNERF_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)

@@ -244,6 +244,18 @@ def export_torch_checkpoint(
             sd.update(export_torch_state(params[name], model_prefix=prefix))
     if not sd:
         raise KeyError(f"no NeRF params found in {ckpt_path}")
+    if state.get("d_params") is not None and state.get("sn_state") is None:
+        # save_weights_only() keeps d_params but drops sn_state; without the
+        # spectral-norm u/sigma the reference's D.* keys (weight_orig/u/v)
+        # cannot be reconstructed — exporting silently NeRF-only would lose
+        # a trained discriminator on a --pt_model whole-system warm start.
+        import warnings
+
+        warnings.warn(
+            f"{ckpt_path}: d_params present but sn_state missing (weights-"
+            "only checkpoint?) — exporting WITHOUT discriminator D.* keys",
+            stacklevel=2,
+        )
     if state.get("d_params") is not None and state.get("sn_state") is not None:
         if imsize is None:
             imsize = int(
@@ -259,7 +271,7 @@ def export_torch_checkpoint(
         "state_dict": {
             k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
         },
-        "epoch": int(tree.get("epoch", 0)) if isinstance(tree, dict) else 0,
+        "epoch": int(tree.get("epoch", 0)),
     }
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     torch.save(blob, out_path)

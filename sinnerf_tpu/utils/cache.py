@@ -35,6 +35,15 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     if cache_dir is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         cache_dir = os.path.join(repo_root, ".jax_cache")
+    # Multi-process launches (SINNERF_COORDINATOR topology): two live
+    # processes sharing one cache dir is a read/write race, and a corrupt
+    # CPU entry read back via backend.deserialize_executable can abort the
+    # interpreter.  Ranks pay duplicate compiles into per-rank subdirs
+    # instead.  Env-based (not jax.process_index()) so no backend
+    # initializes before configure_tpu_env's LIBTPU_INIT_ARGS are set.
+    rank = os.environ.get("SINNERF_PROCESS_ID")
+    if rank is not None and os.environ.get("SINNERF_COORDINATOR"):
+        cache_dir = os.path.join(cache_dir, f"rank{rank}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

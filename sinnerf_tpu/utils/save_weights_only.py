@@ -32,6 +32,12 @@ def save_weights_only(ckpt_path: str, out_path: str) -> str:
     weights = {"params": state["params"]}
     if state.get("d_params") is not None:
         weights["d_params"] = state["d_params"]
+        # spectral-norm u/sigma are model buffers (torch keeps them in the
+        # state_dict a weights-only ckpt retains); without them the D.*
+        # weight_orig/u/v keys cannot be reconstructed on a later --torch
+        # export (export_torch_checkpoint warns and skips D otherwise)
+        if state.get("sn_state") is not None:
+            weights["sn_state"] = state["sn_state"]
 
     out_dir, name = os.path.split(os.path.abspath(out_path))
     return save_checkpoint(out_dir or ".", name, weights)

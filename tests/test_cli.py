@@ -254,6 +254,38 @@ def test_persistent_cache_disabled_under_tests():
     assert jax.config.jax_compilation_cache_dir is None
 
 
+def test_persistent_cache_per_rank_subdir(tmp_path, monkeypatch):
+    """Multi-process launches must not share one cache dir (read/write race;
+    a corrupt CPU entry read back can abort the interpreter) — each rank
+    gets a rank{N} subdir."""
+    import jax
+
+    from sinnerf_tpu.utils.cache import enable_persistent_cache
+
+    monkeypatch.setenv("SINNERF_COORDINATOR", "localhost:1")
+    monkeypatch.setenv("SINNERF_PROCESS_ID", "1")
+    monkeypatch.setenv("SINNERF_JAX_CACHE_DIR", str(tmp_path / "c"))
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        got = enable_persistent_cache()
+        assert got == str(tmp_path / "c" / "rank1")
+        assert os.path.isdir(got)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_distributed_partial_env_raises(monkeypatch):
+    """SINNERF_COORDINATOR without the rest of the env trio must fail with
+    a message naming what's missing, not a bare KeyError."""
+    from sinnerf_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.setenv("SINNERF_COORDINATOR", "localhost:1")
+    monkeypatch.delenv("SINNERF_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("SINNERF_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="SINNERF_NUM_PROCESSES"):
+        maybe_initialize_distributed()
+
+
 def test_torch_export_roundtrip(tmp_path):
     """Reverse checkpoint interop: an orbax checkpoint exported with
     export_torch_checkpoint must be consumable by the reference ecosystem —

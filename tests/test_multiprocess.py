@@ -23,24 +23,41 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(worker, port, tmp_path, repo_root, env):
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=repo_root,
+def _launch_two_with_retry(make_proc, timeout, attempts=3):
+    """Run two ranks to completion; retry the coordinator-port TOCTOU race.
+
+    ``make_proc(pid, port) -> (argv, env, cwd)``.  _free_port closes its
+    probe socket before the coordinator binds the port (jax.distributed in
+    rank 0, seconds later) — a TOCTOU window on shared machines.  Retry with
+    a fresh port if the bind itself lost the race; any other failure is a
+    real test failure and is returned to the caller's asserts.
+    """
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            argv, env, cwd = make_proc(pid, port)
+            procs.append(subprocess.Popen(
+                argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=cwd,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        bind_lost = any(
+            p.returncode != 0
+            and ("address already in use" in out.lower()
+                 or "failed to bind" in out.lower())
+            for p, out in zip(procs, outs)
         )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=840)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+        if not bind_lost:
+            break
     return procs, outs
 
 
@@ -54,21 +71,12 @@ def test_two_process_mesh_train_step(tmp_path):
     # inherited platform hints so nothing initializes the axon TPU plugin
     env.pop("JAX_PLATFORMS", None)
 
-    # _free_port closes its probe socket before the coordinator binds the
-    # port (jax.distributed in worker 0, seconds later) — a TOCTOU window on
-    # shared machines.  Retry with a fresh port if the bind itself lost the
-    # race; any other failure is a real test failure.
-    for attempt in range(3):
-        port = _free_port()
-        procs, outs = _run_workers(worker, port, tmp_path, repo_root, env)
-        bind_lost = any(
-            p.returncode != 0
-            and ("address already in use" in out.lower()
-                 or "failed to bind" in out.lower())
-            for p, out in zip(procs, outs)
-        )
-        if not bind_lost:
-            break
+    def make_proc(pid, port):
+        argv = [sys.executable, worker, str(pid), "2", str(port),
+                str(tmp_path)]
+        return argv, env, repo_root
+
+    procs, outs = _launch_two_with_retry(make_proc, timeout=840)
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
@@ -133,39 +141,17 @@ def test_two_process_cli_train(tmp_path):
     # subprocess timeout so the barrier never fires first.
     base_env["SINNERF_SHUTDOWN_TIMEOUT"] = "2400"
 
-    for attempt in range(3):
-        port = _free_port()
-        procs = []
-        for pid in range(2):
-            env = dict(base_env)
-            env["SINNERF_COORDINATOR"] = f"localhost:{port}"
-            env["SINNERF_PROCESS_ID"] = str(pid)
-            procs.append(subprocess.Popen(
-                args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True, env=env, cwd=repo_root,
-            ))
-        outs = []
-        for p in procs:
-            try:
-                # two concurrent XLA CPU train-step compiles on this
-                # single-core box can each run at ~50% when a TPU soak's
-                # dispatch loop is also live; 840s timed out under that
-                # 3-way contention (round-5 suite run 1) while the test
-                # passes in ~4 min uncontended.
-                out, _ = p.communicate(timeout=2400)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            outs.append(out)
-        bind_lost = any(
-            p.returncode != 0
-            and ("address already in use" in out.lower()
-                 or "failed to bind" in out.lower())
-            for p, out in zip(procs, outs)
-        )
-        if not bind_lost:
-            break
+    def make_proc(pid, port):
+        env = dict(base_env)
+        env["SINNERF_COORDINATOR"] = f"localhost:{port}"
+        env["SINNERF_PROCESS_ID"] = str(pid)
+        return args, env, repo_root
+
+    # two concurrent XLA CPU train-step compiles on this single-core box can
+    # each run at ~50% when a TPU soak's dispatch loop is also live; 840s
+    # timed out under that 3-way contention (round-5 suite run 1) while the
+    # test passes in ~4 min uncontended.
+    procs, outs = _launch_two_with_retry(make_proc, timeout=2400)
 
     best = []
     for pid, (p, out) in enumerate(zip(procs, outs)):

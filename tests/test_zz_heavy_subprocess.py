@@ -29,6 +29,9 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_heavy_file_in_subprocess(fname):
     env = dict(os.environ)
     env["SINNERF_TEST_DIRECT"] = "1"
+    # timeout: test_train.py alone runs ~14 min uncontended, ~2-3x that
+    # alongside a TPU soak's dispatch loop on this single-core box; a wedged
+    # (rather than crashed) XLA compiler must fail the suite, not hang it.
     proc = subprocess.run(
         [
             sys.executable, "-m", "pytest",
@@ -39,6 +42,7 @@ def test_heavy_file_in_subprocess(fname):
         text=True,
         env=env,
         cwd=REPO_ROOT,
+        timeout=3600,
     )
     if proc.returncode != 0:
         raise AssertionError(
