@@ -21,6 +21,33 @@ from sinnerf_tpu.models.nerf import import_torch_state
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    rank = os.environ.get("SINNERF_PROCESS_ID")
+    if rank is not None and os.environ.get("SINNERF_COORDINATOR"):
+        # Multi-process launch (parallel/mesh.py env contract).  A default
+        # Checkpointer barriers save/restore across ALL processes via
+        # multihost.sync_global_processes — but checkpointing here is
+        # rank-0-gated (Lightning-DDP semantics, train/loop.py), so rank 0
+        # would block at Checkpointer:save_start until the coordination
+        # service's barrier timeout kills the whole job (observed as the
+        # two-process CLI smoke's 40-min shutdown-barrier cascade).  Trees
+        # are host-numpy (replicated), so every barrier can be scoped to
+        # the calling process: saves are rank-0-only by construction,
+        # restores are per-process local reads of the same files.  Env-based
+        # (not jax.process_index()) so CLI utilities that only read
+        # checkpoints never initialize a backend (the axon tunnel hangs a
+        # second process).
+        from orbax.checkpoint import options as options_lib
+
+        me = int(rank)
+        mp = options_lib.MultiprocessingOptions(
+            primary_host=me,
+            active_processes={me},
+            barrier_sync_key_prefix=f"proc{me}",
+        )
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+            multiprocessing_options=mp,
+        )
     return ocp.PyTreeCheckpointer()
 
 
