@@ -22,7 +22,11 @@ def _checkpointer():
     import orbax.checkpoint as ocp
 
     rank = os.environ.get("SINNERF_PROCESS_ID")
-    if rank is not None and os.environ.get("SINNERF_COORDINATOR"):
+    if (
+        rank is not None
+        and os.environ.get("SINNERF_COORDINATOR")
+        and jax.distributed.is_initialized()
+    ):
         # Multi-process launch (parallel/mesh.py env contract).  A default
         # Checkpointer barriers save/restore across ALL processes via
         # multihost.sync_global_processes — but checkpointing here is
@@ -32,10 +36,13 @@ def _checkpointer():
         # two-process CLI smoke's 40-min shutdown-barrier cascade).  Trees
         # are host-numpy (replicated), so every barrier can be scoped to
         # the calling process: saves are rank-0-only by construction,
-        # restores are per-process local reads of the same files.  Env-based
-        # (not jax.process_index()) so CLI utilities that only read
-        # checkpoints never initialize a backend (the axon tunnel hangs a
-        # second process).
+        # restores are per-process local reads of the same files.  Gated on
+        # is_initialized() (a pure global_state check, no backend init — the
+        # axon tunnel hangs a second process) and NOT the env alone: in a
+        # process that merely inherited the env trio without calling
+        # jax.distributed.initialize (e.g. save_weights_only run from a
+        # worker host's shell), orbax sees process_index()==0 != primary_host
+        # and silently never finalizes the save.
         from orbax.checkpoint import options as options_lib
 
         me = int(rank)

@@ -3,8 +3,8 @@
 Parity: ``utils/save_weights_only.py`` of the reference (drops the Lightning
 wrapper / optimizer state so the ckpt is small and loadable by eval).
 
-With ``--torch`` (or an ``out`` ending in .ckpt/.pt/.pth) the output is a
-reference-consumable PyTorch checkpoint instead — ``{'state_dict':
+With ``--torch`` the output is a reference-consumable PyTorch checkpoint
+instead — ``{'state_dict':
 {'nerf_coarse.*', 'nerf_fine.*', 'D.*'}}`` — so the reference's ``eval.py``
 / ``--pt_model`` warm start (reference eval.py:131-145,
 utils/__init__.py:60-83) can consume training output from this framework.
@@ -60,8 +60,11 @@ def main(argv=None) -> str:
         "defaults to the checkpoint's saved patch_size",
     )
     args = ap.parse_args(argv)
-    torch_out = args.torch or args.out_path.endswith((".ckpt", ".pt", ".pth"))
-    if torch_out:
+    # explicit --torch only, no extension sniffing: .ckpt is also a natural
+    # name for an orbax output dir, and silently switching formats on the
+    # same argv (plus a new ImportError on torch-less machines) breaks the
+    # CLI's contract
+    if args.torch:
         return export_torch_checkpoint(
             args.ckpt_path, args.out_path, imsize=args.imsize
         )

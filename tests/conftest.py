@@ -57,6 +57,16 @@ def pytest_ignore_collect(collection_path, config):
     return None
 
 
+def pytest_generate_tests(metafunc):
+    # Parametrize test_zz_heavy_subprocess over HEAVY_TEST_FILES via the
+    # plugin hook rather than an import: `from tests.conftest import ...`
+    # only resolves under `python -m pytest` (cwd on sys.path) — bare
+    # `pytest` would abort the whole collection — and it re-executes this
+    # module's env/jax.config side effects as a second module instance.
+    if "heavy_test_fname" in metafunc.fixturenames:
+        metafunc.parametrize("heavy_test_fname", sorted(HEAVY_TEST_FILES))
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_xla_executable_accumulation():
     """Free compiled executables between modules — bounds the in-process

@@ -178,6 +178,52 @@ def test_save_weights_only(tmp_path):
     assert "params" in tree and "opt_g" not in tree.get("state", tree)
 
 
+def test_train_help_with_rank_env_prints_usage(tmp_path):
+    """`python train.py --help` on a worker host whose shell exports the
+    multi-process env trio must print usage immediately: distributed init
+    runs after argparse (at module import it blocked on the coordinator for
+    jax.distributed's 300 s initialization timeout before help could print).
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        SINNERF_COORDINATOR="localhost:1",  # nothing listens here
+        SINNERF_NUM_PROCESSES="2",
+        SINNERF_PROCESS_ID="1",
+        SINNERF_JAX_CACHE_DIR="off",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--help"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=240,  # import time only, but this box can be heavily contended
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "usage" in proc.stdout.lower()
+
+
+def test_save_checkpoint_with_inherited_rank_env(tmp_path, monkeypatch):
+    """The multi-process env trio WITHOUT jax.distributed.initialize (e.g. a
+    read/write CLI utility run from a worker host's shell) must still write a
+    real checkpoint: rank-scoped orbax options keyed on the env alone made
+    primary_host=1 != process_index()==0, so orbax silently never finalized
+    the save (only an *.orbax-checkpoint-tmp dir remained)."""
+    from sinnerf_tpu.train.checkpoints import load_checkpoint
+
+    monkeypatch.setenv("SINNERF_COORDINATOR", "localhost:12345")
+    monkeypatch.setenv("SINNERF_NUM_PROCESSES", "2")
+    monkeypatch.setenv("SINNERF_PROCESS_ID", "1")
+    path = save_checkpoint(str(tmp_path), "x", {"a": np.arange(3.0)})
+    assert os.path.isdir(path), os.listdir(str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(load_checkpoint(path)["a"]), np.arange(3.0)
+    )
+
+
 def test_make_default_hparams_matches_flag_table():
     """Programmatic hparams == CLI defaults; unknown keys rejected."""
     import pytest as _pytest

@@ -18,15 +18,14 @@ import os
 import subprocess
 import sys
 
-import pytest
-
-from tests.conftest import HEAVY_TEST_FILES
-
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("fname", sorted(HEAVY_TEST_FILES))
-def test_heavy_file_in_subprocess(fname):
+# parametrized over conftest.HEAVY_TEST_FILES by conftest.pytest_generate_tests
+# (hook, not import: `from tests.conftest import ...` only resolves under
+# `python -m pytest` and would re-execute conftest's env side effects)
+def test_heavy_file_in_subprocess(heavy_test_fname):
+    fname = heavy_test_fname
     env = dict(os.environ)
     env["SINNERF_TEST_DIRECT"] = "1"
     # timeout: test_train.py alone runs ~14 min uncontended, ~2-3x that

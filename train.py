@@ -15,16 +15,17 @@ Example (reference README.md:44-52, works unchanged):
 from opt import get_opts
 from sinnerf_tpu.parallel.mesh import maybe_initialize_distributed
 from sinnerf_tpu.utils.cache import enable_persistent_cache
-
-# multi-process topology (one process per host): env-gated, before any
-# backend initializes — see maybe_initialize_distributed for the contract
-maybe_initialize_distributed()
-enable_persistent_cache()
-
 from sinnerf_tpu.train import SinNeRFTrainer
 
 
 def main(hparams):
+    # multi-process topology (one process per host): env-gated, still before
+    # any backend initializes (imports above touch no backend) but AFTER
+    # argparse — a worker-host shell carrying the env trio must not block on
+    # the coordinator for `--help` or a mistyped flag.  See
+    # maybe_initialize_distributed for the contract.
+    maybe_initialize_distributed()
+    enable_persistent_cache()
     trainer = SinNeRFTrainer(hparams)
     best = trainer.fit()
     print(f"best val/psnr: {best:.3f}")
