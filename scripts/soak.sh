@@ -5,7 +5,7 @@
 # make_dtu_scene_rich — the real datasets are not obtainable in this
 # environment, see README "Hardware results").
 #
-# Usage: scripts/soak.sh llff|dtu [epochs_step1] [epochs_step2]
+# Usage: scripts/soak.sh llff|dtu|lego|llff_vit0 [epochs_step1] [epochs_step2]
 # Runs Step-1 (depth+proj+ViT), then Step-2 (GAN finetune warm-started from
 # the Step-1 checkpoint via --pt_model --nerf_only), then eval.py on the
 # Step-2 checkpoint.  TPU jobs are serial (single axon tunnel).
@@ -19,7 +19,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-FAMILY=${1:?usage: soak.sh llff|dtu|lego [epochs1] [epochs2]}
+FAMILY=${1:?usage: soak.sh llff|dtu|lego|llff_vit0 [epochs1] [epochs2]}
 # blender epochs are 125 steps each (125-pose bank), so the lego defaults
 # are epoch counts matching the round-2/3 evidence scale (20k + 2.5k steps);
 # the published recipe's full 2000 epochs = 250k steps ~ 9 h.
@@ -33,7 +33,7 @@ fi
 CK=/tmp/soak_ck
 LOG=/tmp/soak_log
 
-if [ "$FAMILY" = llff ]; then
+if [ "$FAMILY" = llff ] || [ "$FAMILY" = llff_vit0 ]; then
   ROOT=/tmp/rich_llff
   [ -d "$ROOT" ] || python -c "
 import jax; jax.config.update('jax_platforms', 'cpu')
@@ -46,6 +46,15 @@ make_llff_scene_rich('$ROOT', img_wh=(504, 378), n_images=10)"
     --depth_smooth_weight 0 --num_gpus 1 --load_depth --depth_type nerf
     --model sinnerf --depth_weight 8 --ckpt_dir "$CK" --log_dir "$LOG"
     --check_val_every_n_epoch 50)
+  if [ "$FAMILY" = llff_vit0 ]; then
+    # Round-5 control (README "Caveat (random-ViT)"): identical Step-1 but
+    # --vit_weight 0, bounding what the random-ViT noise regularizer
+    # contributes to the Step-1 soak PSNR.  Step-1 only — no Step-2/eval leg.
+    EXP1=llff_room_s4_vit0
+    S1=(--num_epochs "$E1" --lr 2e-4 --sW 4 --sH 4 --dis_weight 0
+      --vit_weight 0 --exp_name llff_room_s4_vit0)
+    STEP1_ONLY=1
+  else
   EXP1=llff_room_s4 EXP2=llff_room_s4_2ft
   S1=(--num_epochs "$E1" --lr 2e-4 --sW 4 --sH 4 --dis_weight 0
     --vit_weight 10 --allow_random_pretrained --exp_name llff_room_s4)
@@ -55,6 +64,7 @@ make_llff_scene_rich('$ROOT', img_wh=(504, 378), n_images=10)"
   EVAL=(--dataset_name llff_ray_patch_1image_proj --root_dir "$ROOT"
     --N_importance 64 --img_wh 504 378 --split test_train
     --ckpt_path "$CK/llff_room_s4_2ft/last" --timestamp soak)
+  fi
 elif [ "$FAMILY" = lego ]; then
   ROOT=/tmp/rich_lego/lego   # 'lego' in the path selects the my_testset branch
   [ -d "$ROOT" ] || python -c "
@@ -123,6 +133,10 @@ run_train() {
 
 echo "=== $FAMILY Step-1 ($E1 epochs) ==="
 run_train "$EXP1" "${COMMON[@]}" "${S1[@]}"
+if [ "${STEP1_ONLY:-0}" = 1 ]; then
+  echo "=== $FAMILY is a Step-1-only control; done ==="
+  exit 0
+fi
 echo "=== $FAMILY Step-2 ($E2 epochs) ==="
 run_train "$EXP2" "${COMMON[@]}" "${S2[@]}"
 echo "=== $FAMILY eval.py on the Step-2 checkpoint ==="
